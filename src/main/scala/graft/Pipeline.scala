@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dict.{DictBuild, DictSpec}
+import graft.graph.PageRank
+import graft.link.{Mentions, Pairs, Scoring}
+import graft.model.Bow
+
+/** End-to-end wiring of the offline artifacts (dictionary, BOW, PageRank)
+  * and the online annotation pipeline. Offline artifacts are built once per
+  * session from the deterministic synthetic dump and cached.
+  */
+object Pipeline {
+
+  final case class Artifacts(
+      entityDict: DataFrame,
+      dictKeys: DataFrame,
+      maxKeyTokens: Int,
+      bow: Bow.Model,
+      pagerank: PageRank.Result)
+
+  @volatile private var cache: Map[SparkSession, Artifacts] = Map.empty
+
+  def artifacts(spark: SparkSession): Artifacts = synchronized {
+    cache.getOrElse(spark, {
+      val a = buildArtifacts(spark)
+      cache += spark -> a
+      a
+    })
+  }
+
+  def buildArtifacts(spark: SparkSession): Artifacts = {
+    val lines = DictBuild.syntheticDump(spark)
+    val items = DictBuild.parseDump(lines).persist()
+    val closures = DictSpec.profile.restrictTypes.map { c =>
+      c.qid -> DictBuild.subclassClosure(spark, DictBuild.p279Edges(items), c.qid.drop(1).toInt)
+    }.toMap
+    val dict = DictBuild.entityToDocument(items, DictSpec.profile, closures).persist()
+    val keys = DictBuild.dictKeys(dict).persist()
+    val maxN = keys.agg(max(col("n_tokens"))).head().getInt(0)
+    val bow = Bow.buildModel(items)
+    val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+    val pr = PageRank.run(spark, weighted, lastQid)
+    pr.ranks.persist().count()
+    items.unpersist()
+    Artifacts(dict, keys, maxN, bow, pr)
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // Stage-level caches: repeated driver queries (el_mentions, el_candidates,
+  // el_annotate, el_pairs, el_clusters) share the expensive upstream stages
+  // within a session instead of recomputing the whole pipeline.
+  @volatile private var stageCache: Map[(SparkSession, String, String), DataFrame] = Map.empty
+
+  private def cached(spark: SparkSession, sfDir: String, stage: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val k = (spark, sfDir, stage)
+    stageCache.getOrElse(k, {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stageCache += k -> df
+      df
+    })
+  }
+
+  /** mention spans over the documents table. */
+  def mentions(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "mentions") {
+      val a = artifacts(spark)
+      Mentions.extract(documents(spark, sfDir), a.dictKeys, a.maxKeyTokens)
+    }
+
+  /** ranked candidates (top-10 per mention). */
+  def candidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "candidates") {
+      val a = artifacts(spark)
+      Mentions.candidates(mentions(spark, sfDir), a.dictKeys, a.entityDict, a.pagerank, a.bow)
+    }
+
+  /** best entity link per mention (flagship annotate query). */
+  def annotate(spark: SparkSession, sfDir: String,
+      params: Scoring.Params = Scoring.Params()): DataFrame =
+    cached(spark, sfDir, s"annotate:$params") {
+      val tags = candidates(spark, sfDir)
+      Scoring.bestLinks(tags, params, Scoring.defaultModel(params.nbSteps))
+    }
+
+  /** blocked candidate pairs with surface similarity + linkage decision. */
+  def pairs(spark: SparkSession, sfDir: String): DataFrame =
+    Pairs.candidatePairs(annotate(spark, sfDir))
+
+  /** mention clusters: transitive closure of same-entity pairs. */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val best = annotate(spark, sfDir)
+    val linked = best.withColumn("mention_id", Pairs.mentionIdCol)
+    val edges = Pairs.sameEntityEdges(Pairs.candidatePairs(best))
+    graft.link.ConnectedComponents.runWithIsolated(
+      spark, linked.select(col("mention_id")), edges)
+  }
+}

@@ -1,13 +1,157 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dict.DictSpec
+import graft.graph.PageRank
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in `queries` has either a full DuckDB oracle in `oracleSql`
+  * (generated in graft.Oracles from the same deterministic spec) or a
+  * rows-only check. Column names and types are aligned between both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship query on sf=0.001: the full annotate pipeline (mention
+    * extraction -> candidate ranking -> context scoring -> best link). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.annotate(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational coverage over the TPC-H-ish star ----------------------
+    "q1_agg" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q2_join_topk" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      read(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= lit(3))
+        .select(col("c_nationkey"), col("c_custkey"), col("rnk"))
+    }),
+    "q4_anti_join" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders")
+        .filter(col("o_orderpriority") === lit("1-URGENT"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    // ---- entity-linking pipeline ------------------------------------------
+    "el_dict" -> ((s, _) => {
+      Pipeline.artifacts(s).entityDict.select(
+        col("id"), col("revid"), col("label"), col("desc"),
+        size(col("edges")).as("n_edges"),
+        size(col("aliases")).as("n_aliases"),
+        size(col("extra_aliases")).as("n_extra"),
+        col("nb_statements"), col("nb_sitelinks"),
+        col("types")("Q200").as("type_ok"),
+        col("types")("P2002").as("prop_ok"))
+    }),
+    "el_dict_keys" -> ((s, _) =>
+      Pipeline.artifacts(s).dictKeys.select("norm_key", "qid", "n_tokens")),
+    "el_bow" -> ((s, _) => {
+      val items = graft.dict.DictBuild.parseDump(graft.dict.DictBuild.syntheticDump(s))
+      val (bow, _) = graft.model.Bow.build(items)
+      bow.select(col("word"), col("count"))
+    }),
+    "el_pagerank" -> ((s, _) => {
+      val a = Pipeline.artifacts(s)
+      val items = graft.dict.DictBuild.parseDump(graft.dict.DictBuild.syntheticDump(s))
+      val (weighted, _) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+      val nodes = weighted.select(col("src").as("n"))
+        .union(weighted.select(col("dst").as("n"))).distinct()
+      nodes.join(a.pagerank.ranks, nodes("n") === a.pagerank.ranks("qid"), "left")
+        .select(col("n").cast("int").as("qid_num"),
+          round(coalesce(col("rank"), lit(a.pagerank.background)), 6).as("rank"))
+    }),
+    "el_mentions" -> ((s, dir) =>
+      Pipeline.mentions(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"))),
+    "el_candidates" -> ((s, dir) =>
+      Pipeline.candidates(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("qid"), round(col("rank"), 6).as("rank"), col("tag_order"))),
+    "el_annotate" -> ((s, dir) =>
+      Pipeline.annotate(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"), col("best_qid"))),
+    "el_pairs" -> ((s, dir) =>
+      Pipeline.pairs(s, dir)
+        .select(col("block_key"), col("id1"), col("id2"), col("lev"), col("jw"),
+          col("same_entity"))),
+    "el_cc_alias" -> ((s, _) => {
+      // connected components over the alias-sharing qid graph (tiny,
+      // SQL-oracled); the full mention-cluster CC runs in el_clusters
+      val keys = Pipeline.artifacts(s).dictKeys
+      val a = keys.select(col("norm_key"), expr("cast(substring(qid, 2) as long)").as("qa"))
+      val b = keys.select(col("norm_key").as("nk2"), expr("cast(substring(qid, 2) as long)").as("qb"))
+      val edges = a.join(b, a("norm_key") === b("nk2") && col("qa") < col("qb"))
+        .select(col("qa").as("src"), col("qb").as("dst")).distinct()
+      val nodes = keys.select(expr("cast(substring(qid, 2) as long)").as("node")).distinct()
+      graft.link.ConnectedComponents.runWithIsolated(s, nodes, edges)
+    }),
+    "el_clusters" -> ((s, dir) =>
+      // full transitive clustering of same-entity mention pairs (rows-only
+      // check: CC at this scale is not reasonably SQL-expressible)
+      Pipeline.clusters(s, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_topk" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+    "q3_window_topk" ->
+      """SELECT c_nationkey, c_custkey, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "el_dict" -> Oracles.elDictSql,
+    "el_dict_keys" -> Oracles.elDictKeysSql,
+    "el_bow" -> Oracles.elBowSql,
+    "el_pagerank" -> Oracles.elPagerankSql,
+    "el_mentions" -> Oracles.elMentionsSql,
+    "el_candidates" -> Oracles.elCandidatesSql,
+    "el_annotate" -> Oracles.elAnnotateSql,
+    "el_pairs" -> Oracles.elPairsSql,
+    "el_cc_alias" -> Oracles.elCcAliasSql,
+  )
 }

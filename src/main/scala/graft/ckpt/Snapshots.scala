@@ -1,0 +1,113 @@
+package graft.ckpt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Stage checkpointing with snapshot semantics + per-partition lineage and
+  * counters (north_rule: "checkpoints each stage to Iceberg snapshot tables
+  * with per-partition lineage and counters, resumes from the last committed
+  * snapshot").
+  *
+  * No Iceberg jars ship in this sandbox image, so the same semantics are
+  * implemented over parquet directories with atomically-committed JSON
+  * manifests: a snapshot is `root/<stage>/snap-<id>/` holding the parquet
+  * data plus `_MANIFEST.json` with the stage name, the input snapshot ids it
+  * was derived from (lineage), and per-partition-file row counters. A
+  * snapshot is visible only after its manifest is moved into place
+  * (write-temp + atomic rename = the Iceberg commit). Swapping this file for
+  * `df.writeTo(table).createOrReplace()` + snapshot metadata is a one-module
+  * change on a cluster with the Iceberg runtime.
+  */
+object Snapshots {
+
+  final case class Manifest(
+      stage: String,
+      snapshotId: Long,
+      inputs: Seq[String], // lineage: "<stage>:<snapshotId>" of upstream stages
+      rows: Long,
+      partitions: Seq[(String, Long)]) // per-partition-file row counters
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def render(m: Manifest): String = {
+    val parts = m.partitions.map { case (f, n) => s"[${jstr(f)}, $n]" }.mkString(",")
+    s"""{"stage": ${jstr(m.stage)}, "snapshot_id": ${m.snapshotId}, "inputs": [${m.inputs.map(jstr).mkString(",")}], "rows": ${m.rows}, "partitions": [$parts]}"""
+  }
+
+  private def parse(s: String): Manifest = {
+    // minimal parser for the shape we render (no external json lib)
+    def field(name: String): String = {
+      val i = s.indexOf("\"" + name + "\"")
+      require(i >= 0, s"missing $name")
+      s.substring(s.indexOf(':', i) + 1)
+    }
+    val stage = field("stage").trim.drop(1).takeWhile(_ != '"')
+    val id = field("snapshot_id").trim.takeWhile(c => c.isDigit).toLong
+    val rows = field("rows").trim.takeWhile(c => c.isDigit).toLong
+    val inputsRaw = field("inputs").trim.drop(1).takeWhile(_ != ']')
+    val inputs =
+      if (inputsRaw.trim.isEmpty) Seq.empty[String]
+      else inputsRaw.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    Manifest(stage, id, inputs, rows, Seq.empty) // partitions not needed on read path
+  }
+
+  private def stageDir(root: String, stage: String): Path = Paths.get(root, stage)
+
+  /** latest committed snapshot of a stage, if any. */
+  def latest(spark: SparkSession, root: String, stage: String): Option[(String, Manifest)] = {
+    val dir = stageDir(root, stage)
+    if (!Files.isDirectory(dir)) return None
+    val snaps = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .filter(p => Files.exists(p.resolve("_MANIFEST.json")))
+      .toSeq
+      .sortBy(_.getFileName.toString.stripPrefix("snap-").toLong)
+    snaps.lastOption.map { p =>
+      (p.toString, parse(Files.readString(p.resolve("_MANIFEST.json"))))
+    }
+  }
+
+  /** Write a new committed snapshot of `df` for `stage`, recording lineage
+    * and per-partition-file counters. Returns (path, manifest). */
+  def commit(df: DataFrame, root: String, stage: String,
+      inputs: Seq[String] = Seq.empty): (String, Manifest) = {
+    val spark = df.sparkSession
+    val id = latest(spark, root, stage).map(_._2.snapshotId + 1).getOrElse(0L)
+    val dir = stageDir(root, stage).resolve(s"snap-$id")
+    df.write.mode("overwrite").parquet(dir.toString)
+    // per-partition lineage/counters from the committed files themselves
+    val counters = spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString,
+        r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    val m = Manifest(stage, id, inputs, counters.map(_._2).sum, counters)
+    val tmp = dir.resolve("_MANIFEST.json.tmp")
+    Files.writeString(tmp, render(m))
+    Files.move(tmp, dir.resolve("_MANIFEST.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // the commit point
+    (dir.toString, m)
+  }
+
+  /** Resume-or-compute: if a committed snapshot exists whose lineage matches
+    * `inputs`, read it back; otherwise compute, commit, and return. The
+    * returned token "<stage>:<id>" feeds downstream stages' lineage. */
+  def resumeOrRun(spark: SparkSession, root: String, stage: String,
+      inputs: Seq[String])(build: => DataFrame): (DataFrame, String) = {
+    latest(spark, root, stage) match {
+      case Some((path, m)) if m.inputs == inputs =>
+        (spark.read.parquet(path), s"$stage:${m.snapshotId}")
+      case _ =>
+        val (path, m) = commit(build, root, stage, inputs)
+        (spark.read.parquet(path), s"$stage:${m.snapshotId}")
+    }
+  }
+}

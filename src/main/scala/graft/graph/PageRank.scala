@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over the entity graph, reproducing the reference power method
+  * exactly (wikidatagraph.py:123-157):
+  *
+  *   v_0 = uniform 1/N over indices [0, N);  N = lastSourceQid + 1
+  *   v'  = v · M          (M row-normalized, targets > lastQid dropped)
+  *   v'' = v' + (1 - ‖v'‖₁)/N    (uniform loss compensation)
+  *   16 fixed iterations.
+  *
+  * Scale-first formulation: the dense vector is represented SPARSELY as
+  * (rank rows for target nodes) + one scalar `background` shared by every
+  * index that never receives edge mass. Those indices all hold exactly the
+  * compensation value after each iteration, so a 10^8-wide vector costs
+  * one scalar. Each iteration is one join + one aggregation; lineage is
+  * truncated per round with localCheckpoint (SURVEY.md §4: iterative-loop
+  * plan-lineage truncation).
+  */
+object PageRank {
+
+  final case class Result(ranks: DataFrame, background: Double, n: Long, lastQid: Long)
+
+  /** Raw (src, dst) multiplicity edges -> row-normalized weighted edges
+    * following load_from_preprocessed_dump (wikidatagraph.py:62-121):
+    * targets beyond the last source qid are dropped BEFORE normalization.
+    * Input: edges(src long, dst long) with multiplicity rows.
+    * Output: (src, dst, weight) with weight = count/sum(count) per src. */
+  def normalizeEdges(raw: DataFrame): (DataFrame, Long) = {
+    val lastQid = raw.agg(max(col("src"))).head().getLong(0)
+    val counted = raw
+      .filter(col("dst") <= lit(lastQid))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    // row normalization via a second aggregation (no window: a groupBy
+    // + join keeps both sides partial-aggregated and AQE-coalesced)
+    val totals = counted.groupBy(col("src")).agg(sum(col("cnt")).as("tot"))
+    val weighted = counted.join(totals, "src")
+      .select(col("src"), col("dst"), (col("cnt") / col("tot")).as("weight"))
+    (weighted, lastQid)
+  }
+
+  /** 16-iteration power method. `edges` must be row-normalized.
+    * Returns explicit ranks for every node that ever receives edge mass,
+    * plus the shared background value for all other indices in [0, N). */
+  def run(spark: SparkSession, edges: DataFrame, lastQid: Long, iterations: Int = 16): Result = {
+    val n = lastQid + 1
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; reused 16x
+
+    var ranks: DataFrame = null // (qid, rank) for explicit nodes
+    var background = 1.0 / n
+
+    for (_ <- 0 until iterations) {
+      val srcRank =
+        if (ranks == null) e.withColumn("srank", lit(background))
+        else e.join(ranks.withColumnRenamed("qid", "src"), Seq("src"), "left")
+          .withColumn("srank", coalesce(col("rank"), lit(background)))
+      val nv = srcRank
+        .groupBy(col("dst"))
+        .agg(sum(col("srank") * col("weight")).as("mass"))
+      val newRanks = nv.select(col("dst").as("qid"), col("mass").as("rank"))
+        .localCheckpoint(true)
+      val l1 = newRanks.agg(sum(col("rank"))).head().getDouble(0)
+      val comp = (1.0 - l1) / n
+      ranks = newRanks.withColumn("rank", col("rank") + lit(comp))
+      background = comp
+    }
+    e.unpersist()
+    Result(ranks, background, n, lastQid)
+  }
+
+  /** pagerank lookup semantics incl. defaults (wikidatagraph.py:165-170):
+    * explicit rank, else background for in-range ids, else 0.01/N. */
+  def lookupExpr(qidNumCol: String, rankCol: String, res: Result) =
+    when(col(rankCol).isNotNull, col(rankCol))
+      .when(col(qidNumCol) <= lit(res.lastQid), lit(res.background))
+      .otherwise(lit(0.01 / res.n))
+
+  /** Raw graph edges (incl. P31, incl. qualifiers, with multiplicity) from a
+    * parsed dump DataFrame — the preprocess_dump stage
+    * (wikidatagraph.py:23-59) as a projection. */
+  def rawEdgesFromItems(items: DataFrame): DataFrame =
+    items
+      .filter(col("it.id").startsWith("Q"))
+      .select(
+        expr("cast(substring(it.id, 2) as long)").as("src"),
+        explode(expr(
+          """filter(
+            |  flatten(transform(flatten(map_values(coalesce(it.claims, map()))),
+            |    c -> concat(
+            |      array(try_variant_get(c.mainsnak.datavalue, '$.value["numeric-id"]', 'int')),
+            |      transform(flatten(map_values(coalesce(c.qualifiers, map()))),
+            |        q -> try_variant_get(q.datavalue, '$.value["numeric-id"]', 'int'))))),
+            |  x -> x is not null)""".stripMargin)).as("dst32"))
+      .select(col("src"), col("dst32").cast("long").as("dst"))
+}

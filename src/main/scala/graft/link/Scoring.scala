@@ -1,0 +1,170 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Context-compatibility scoring: the reference classifier's per-document
+  * numpy pipeline (classifier.py:262-375) re-expressed as document-keyed
+  * DataFrame joins and aggregations.
+  *
+  *  - similarity edges: doc-partitioned self-join of candidate tags across
+  *    mention pairs with distance decay + smoothing + per-tag normalization
+  *    (compute_similarities, classifier.py:341-375);
+  *  - feature propagation: nb_steps unrolled rounds of
+  *    F'[dst] = sum over in-edges w * F[src] (adj . F, classifier.py:289-308),
+  *    with the 5 base features kept as flat double columns so every round is
+  *    pure codegen'd arithmetic (no arrays, no UDFs);
+  *  - SVM decision function: w . ((x - mean)/scale) + intercept as a literal
+  *    column expression (classifier.py:214-219,320);
+  *  - per-mention argmax with score > 0 (classify_mentions,
+  *    classifier.py:323-338).
+  */
+object Scoring {
+
+  /** Defaults from SimpleTagClassifier.__init__ (classifier.py:18). */
+  final case class Params(
+      nbSteps: Int = 2,
+      maxSimilarityDistance: Int = 100,
+      similaritySmoothing: Double = 0.1)
+
+  /** Frozen linear model: decision = w.((x-mean)/scale) + intercept.
+    * Feature layout: 5*(nbSteps+1) columns [ll, rank, nb_statements,
+    * nb_sitelinks, 1] x propagation steps. The default model ranks by
+    * popularity (the pagerank-derived `rank` feature), the reference
+    * feature with by far the largest trained weight; training via
+    * spark.ml LinearSVC can replace it without touching the plan. */
+  final case class SvmModel(
+      weights: Array[Double], mean: Array[Double], scale: Array[Double],
+      intercept: Double)
+
+  def defaultModel(nbSteps: Int = 2): SvmModel = {
+    val dim = 5 * (nbSteps + 1)
+    val w = Array.fill(dim)(0.0)
+    w(1) = 1.0 // rank = 23 + ln(pagerank) — strictly positive in practice
+    SvmModel(w, Array.fill(dim)(0.0), Array.fill(dim)(1.0), 0.0)
+  }
+
+  /** tag key column: identifies a (mention-span, qid) pair within a doc. */
+  private def tagKeyCols(prefix: String): Seq[Column] =
+    Seq(col(s"${prefix}start"), col(s"${prefix}end"), col(s"${prefix}qid"))
+
+  /** DirectLinkSimilarity (similarities.py:28-39): 1 per direction of
+    * (equality or direct edge). */
+  def directLinkSim(qidA: Column, edgesA: Column, qidB: Column, edgesB: Column): Column =
+    when(qidA === qidB, lit(1.0))
+      .otherwise(when(array_contains(edgesA, qidB.cast("int")), lit(1.0)).otherwise(lit(0.0))) +
+      when(qidB === qidA, lit(1.0))
+        .otherwise(when(array_contains(edgesB, qidA.cast("int")), lit(1.0)).otherwise(lit(0.0)))
+
+  /** Normalized similarity edge list (doc, src tag -> dst tag, weight):
+    * src is the tag whose similarity list the entry lives in; propagation
+    * sends features src -> dst (adj[dst, src] = w). Self-edges carry the
+    * smoothing seed (classifier.py:348). Entries with decayed score <= 0
+    * are dropped before normalization (classifier.py:359-363). */
+  def similarityEdges(tags: DataFrame, params: Params): DataFrame = {
+    val left = tags.select(
+      col("doc_id"), col("start"), col("end"), col("qid"), col("qid_num"),
+      col("edges"))
+    val right = tags.select(
+      col("doc_id").as("r_doc"), col("start").as("r_start"), col("end").as("r_end"),
+      col("qid").as("r_qid"), col("qid_num").as("r_qid_num"), col("edges").as("r_edges"))
+
+    val distance = greatest(col("start") - col("r_end"), col("r_start") - col("end"))
+    val d = lit(params.maxSimilarityDistance.toDouble)
+
+    val cross = left.join(right,
+      col("doc_id") === col("r_doc") &&
+        !(col("start") === col("r_start") && col("end") === col("r_end")) &&
+        distance <= lit(params.maxSimilarityDistance))
+      .withColumn("raw_sim",
+        (lit(params.similaritySmoothing) +
+          directLinkSim(col("qid_num"), col("edges"), col("r_qid_num"), col("r_edges"))) *
+          ((d - distance.cast("double")) / d))
+      .filter(col("raw_sim") > lit(0.0))
+      .select(col("doc_id"),
+        col("start").as("src_start"), col("end").as("src_end"), col("qid").as("src_qid"),
+        col("r_start").as("dst_start"), col("r_end").as("dst_end"), col("r_qid").as("dst_qid"),
+        col("raw_sim"))
+
+    val selfEdges = tags.select(col("doc_id"),
+      col("start").as("src_start"), col("end").as("src_end"), col("qid").as("src_qid"),
+      col("start").as("dst_start"), col("end").as("dst_end"), col("qid").as("dst_qid"),
+      lit(params.similaritySmoothing).as("raw_sim"))
+
+    val all = cross.unionByName(selfEdges)
+    val wSrc = Window.partitionBy(col("doc_id"), col("src_start"), col("src_end"), col("src_qid"))
+    all.withColumn("weight", col("raw_sim") / sum(col("raw_sim")).over(wSrc))
+      .drop("raw_sim")
+  }
+
+  private val BaseFeatures = Seq("log_likelihood", "rank", "nb_statements", "nb_sitelinks")
+
+  /** Attach propagated feature columns f{step}_{i} for i in 0..4,
+    * step in 0..nbSteps (build_feature_vectors_for_doc,
+    * classifier.py:262-308). Returns the tags frame with
+    * 5*(nbSteps+1) feature columns. */
+  def propagateFeatures(tags: DataFrame, edges: DataFrame, params: Params): DataFrame = {
+    var feat = tags.select(
+      (Seq(col("doc_id"), col("start"), col("end"), col("qid")) ++
+        Seq(col("log_likelihood").cast("double").as("f0_0"),
+          col("rank").cast("double").as("f0_1"),
+          col("nb_statements").cast("double").as("f0_2"),
+          col("nb_sitelinks").cast("double").as("f0_3"),
+          lit(1.0).as("f0_4"))): _*)
+
+    val e = edges.select(
+      col("doc_id").as("e_doc"),
+      col("src_start"), col("src_end"), col("src_qid"),
+      col("dst_start"), col("dst_end"), col("dst_qid"), col("weight"))
+    for (step <- 1 to params.nbSteps) {
+      val prev = (0 until 5).map(i => col(s"f${step - 1}_$i"))
+      val j = e.join(feat,
+        col("e_doc") === feat("doc_id") &&
+          col("src_start") === feat("start") && col("src_end") === feat("end") &&
+          col("src_qid") === feat("qid"))
+      val agg = j.groupBy(col("e_doc").as("doc_id"),
+        col("dst_start").as("start"), col("dst_end").as("end"), col("dst_qid").as("qid"))
+        .agg(
+          sum(col("weight") * prev(0)).as(s"f${step}_0"),
+          sum(col("weight") * prev(1)).as(s"f${step}_1"),
+          sum(col("weight") * prev(2)).as(s"f${step}_2"),
+          sum(col("weight") * prev(3)).as(s"f${step}_3"),
+          sum(col("weight") * prev(4)).as(s"f${step}_4"))
+      feat = feat.join(agg, Seq("doc_id", "start", "end", "qid"), "left")
+        // a tag with no in-edges receives the zero vector (row absent from
+        // adj.F); self-edges make this unreachable in practice
+        .na.fill(0.0, (0 until 5).map(i => s"f${step}_$i"))
+    }
+    feat
+  }
+
+  /** decision_function as a literal column expression. */
+  def svmScore(model: SvmModel, nbSteps: Int): Column = {
+    val dim = 5 * (nbSteps + 1)
+    require(model.weights.length == dim)
+    (0 until dim).map { k =>
+      val c = col(s"f${k / 5}_${k % 5}")
+      lit(model.weights(k)) * ((c - lit(model.mean(k))) / lit(model.scale(k)))
+    }.reduce(_ + _) + lit(model.intercept)
+  }
+
+  /** Score all tags and pick the best per mention (score > 0,
+    * classifier.py:323-338). Returns mention-level rows with best_qid. */
+  def bestLinks(tags: DataFrame, params: Params, model: SvmModel): DataFrame = {
+    val edges = similarityEdges(tags, params)
+    val feats = propagateFeatures(tags, edges, params)
+    val scored = tags
+      .select("doc_id", "start", "end", "surface", "norm_key", "qid", "label", "tag_order")
+      .join(feats.withColumn("score", svmScore(model, params.nbSteps))
+        .select("doc_id", "start", "end", "qid", "score"),
+        Seq("doc_id", "start", "end", "qid"))
+    val wMention = Window.partitionBy(col("doc_id"), col("start"), col("end"))
+      .orderBy(col("score").desc, col("tag_order"))
+    scored
+      .withColumn("rn", row_number().over(wMention))
+      .filter(col("rn") === lit(1) && col("score") > lit(0.0))
+      .select(col("doc_id"), col("start"), col("end"), col("surface"), col("norm_key"),
+        col("qid").as("best_qid"), col("label").as("best_label"), col("score"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - brute-force cosine top-k: exact baseline; query set x corpus as a
+  *    broadcast nested-loop of the (small) query side against the corpus
+  *    scan — linear in corpus size, no shuffle until the per-query top-k;
+  *  - LSH-bucketed variant (random hyperplane signs): the scale path —
+  *    candidate generation becomes an equi-join on the signature bucket,
+  *    then exact re-ranking within buckets only.
+  *
+  * Vector math uses zip_with/aggregate higher-order functions in double
+  * precision (codegen'd, no UDFs).
+  */
+object Ann {
+
+  /** cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, v => v.cast("double"))
+
+  /** exact brute-force cosine top-k: every query vector (vec_id % queryMod
+    * == 0) against the full corpus. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("cand_vec"))
+    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("query_vec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("query_vec"), col("cand_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** deterministic pseudo-random hyperplane component h(plane, dim):
+    * a fixed portable integer stream mapped to {-1, +1}. */
+  private def planeSign(plane: Int, dim: Column): Column = {
+    val p = graft.dedup.Dedup.P
+    when(((lit(plane + 1L) * lit(2654435761L) + lit(97L) * dim) % lit(p)) % 2 === 1,
+      lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** random-hyperplane LSH signature: bit b = sign(sum_i v_i * s(b, i)). */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    (0 until planes).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeSign(b, i.cast("long"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: signature equi-join for candidates, exact cosine
+    * re-rank inside buckets. Scale path: shuffle on the bucket key only. */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100,
+      planes: Int = 8): DataFrame = {
+    val withSig = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("vec"))
+      .withColumn("sig", lshSignature(col("vec"), planes))
+    val corpus = withSig.select(col("vec_id").as("cand_id"),
+      col("vec").as("cand_vec"), col("sig"))
+    val queries = withSig.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"),
+        col("sig").as("qsig"))
+    val scored = corpus.join(broadcast(queries), col("sig") === col("qsig") &&
+        col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("query_vec"), col("cand_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+}

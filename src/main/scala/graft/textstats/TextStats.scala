@@ -1,0 +1,87 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language id, quality scoring, token counting, document fingerprinting.
+  * All per-row projections (no shuffle), codegen-friendly (built-in
+  * functions only), each with an exact DuckDB-oracle formulation.
+  */
+object TextStats {
+
+  /** stopword marker lists per language (deterministic heuristic; the
+    * real-world version would be char-n-gram profiles — same plan shape). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "es" -> Seq("el", "la", "y", "es", "un"))
+
+  /** language-id: per language score = #marker words of that language
+    * present in the doc (distinct-token membership); predicted = argmax
+    * score, ties alphabetically, 'und' if zero hits. Explode + window
+    * argmax keeps the tie-break identical in Spark and the SQL oracle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      explode(array(Markers.map { case (lang, words) =>
+        struct(lit(lang).as("lang"),
+          size(array_intersect(split(col("text"), " "), typedLit(words)))
+            .as("hits"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"), col("s.hits").as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("hits").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("hits") > 0, col("lang")).otherwise(lit("und")).as("pred_lang"),
+        col("hits").cast("int").as("marker_hits"))
+  }
+
+  /** quality score: length, mean word length, stopword ratio, distinct
+    * ratio — the standard web-text quality features, as pure arithmetic. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    val stop = typedLit(Markers.flatMap(_._2).distinct.sorted)
+    val stopRatio = size(array_intersect(toks, stop)).cast("double") / nTok.cast("double")
+    val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok.cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("int").as("n_tokens"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(
+        lit(0.4) * distinctRatio + lit(0.3) * (lit(1.0) - stopRatio) +
+          lit(0.3) * least(meanLen / lit(8.0), lit(1.0)), 6).as("quality"))
+  }
+
+  /** token counts: whitespace tokens + BPE-ish subword estimate (ceil of
+    * chars/4 per token, the common rough token estimator). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("int").as("ws_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + ceil(length(t).cast("double") / lit(4.0)).cast("long"))
+        .as("bpe_tokens"))
+  }
+
+  /** rolling-hash document fingerprint: sum over tokens of
+    * wid(token) * (37^position-ish multiplier) mod P — position-sensitive
+    * (anagram docs get different prints), portable arithmetic. */
+  def fingerprint(docs: DataFrame, ranks: DataFrame): DataFrame = {
+    val p = graft.dedup.Dedup.P
+    val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+    toks.join(broadcast(ranks), Seq("word"))
+      .withColumn("mult", (lit(1L) + lit(37L) * (col("pos") % lit(64))) % lit(p))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("wid") * col("mult")) % lit(p)) % lit(p)).as("fingerprint"))
+  }
+}

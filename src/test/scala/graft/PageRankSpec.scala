@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dict.{DictBuild, DictSpec}
+import graft.graph.PageRank
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val result: PageRank.Result = {
+    val items = DictBuild.parseDump(DictBuild.syntheticDump(spark))
+    val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+    PageRank.run(spark, weighted, lastQid)
+  }
+
+  test("normalized edges match plain-Scala preprocessing") {
+    val items = DictBuild.parseDump(DictBuild.syntheticDump(spark))
+    val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+    assert(lastQid + 1 == DictSpec.graphN)
+    val got = weighted.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))).toSet
+    val exp = DictSpec.weightedEdges.toSet
+    assert(got.map(e => (e._1, e._2)) == exp.map(e => (e._1, e._2)))
+    got.foreach { case (s, d, w) =>
+      val ew = DictSpec.weightedEdges.find(e => e._1 == s && e._2 == d).get._3
+      assert(math.abs(w - ew) < 1e-12, s"weight($s,$d)")
+    }
+  }
+
+  test("16-iteration power method matches dense plain-Scala oracle") {
+    val got = result.ranks.collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    // every explicit node agrees
+    got.foreach { case (q, r) =>
+      assert(math.abs(r - DictSpec.expectedPagerank(q)) < 1e-12, s"pagerank(Q$q)")
+    }
+    // background value = compensation, identical for all non-target indices
+    val nonTargets = (0 until DictSpec.graphN).filterNot(got.contains)
+    nonTargets.foreach { q =>
+      assert(math.abs(result.background - DictSpec.expectedPagerank(q)) < 1e-12,
+        s"background(Q$q)")
+    }
+    // mass conservation
+    val totalMass = got.values.sum + nonTargets.size * result.background
+    assert(math.abs(totalMass - 1.0) < 1e-9)
+  }
+
+  test("ambiguous surface 'merge': Q8 must outrank Q2 (gold design invariant)") {
+    assert(DictSpec.pagerankOf(8) > DictSpec.pagerankOf(2))
+    assert(DictSpec.goldQidByKey("merge") == "Q8")
+  }
+
+  test("OOV default is 0.01/N (wikidatagraph.py:165-170)") {
+    assert(DictSpec.pagerankOf(99999) == 0.01 / DictSpec.graphN)
+  }
+}
