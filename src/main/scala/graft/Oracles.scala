@@ -269,4 +269,202 @@ object Oracles {
        |)
        |SELECT word, CAST(count(*) AS BIGINT) AS count
        |FROM words GROUP BY word HAVING count(*) >= 2""".stripMargin
+
+  // ======================= dedup / textstats / ann =========================
+
+  /** augmented corpus (near-dup plants, mirrors Dedup.augment) + token 3-gram
+    * shingle ids with deterministic dense ranks. */
+  val dedupBaseCtes: String =
+    """aug AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[6:], ' ') AS text
+      |  FROM documents WHERE doc_id % 50 = 0
+      |),
+      |dtoks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM aug
+      |),
+      |dsh AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM dtoks a
+      |  JOIN dtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN dtoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |),
+      |vocab AS MATERIALIZED (
+      |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |  FROM (SELECT DISTINCT shingle FROM dsh)
+      |),
+      |dids AS MATERIALIZED (
+      |  SELECT d.doc_id, v.sid FROM dsh d JOIN vocab v USING (shingle)
+      |)""".stripMargin
+
+  /** MinHash (8 hashes) -> 4 bands of 2 -> bucket -> candidate pairs. */
+  val minhashCtes: String =
+    s"""$dedupBaseCtes,
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, t.h,
+       |         min(((1 + 37 * t.h) * sid + (11 + 17 * t.h)) % 2147483647) AS v
+       |  FROM dids, range(0, 8) t(h)
+       |  GROUP BY doc_id, t.h
+       |),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, CAST(h // 2 AS INTEGER) AS band,
+       |         sum(v * (CASE WHEN h % 2 = 0 THEN 1 ELSE 31 END)) % 2147483647 AS bucket
+       |  FROM sig GROUP BY doc_id, h // 2
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val ddExactSql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT text, CAST(min(doc_id) AS BIGINT) AS dup_group,
+      |         CAST(count(*) AS BIGINT) AS group_size
+      |  FROM documents GROUP BY text
+      |)
+      |SELECT d.doc_id, g.dup_group, g.group_size
+      |FROM documents d JOIN g USING (text)""".stripMargin
+
+  val ddMinhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc1, doc2 FROM cand""".stripMargin
+
+  val ddSimhashSql: String =
+    s"""WITH $dedupBaseCtes,
+       |bits AS (
+       |  SELECT doc_id, t.b,
+       |         sum(CASE WHEN ((sid * 2654435761 + 40503 * (t.b + 1)) % 2147483647) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM dids, range(0, 32) t(b)
+       |  GROUP BY doc_id, t.b
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  val ddJaccardSql: String =
+    s"""WITH $minhashCtes,
+       |szs AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM dids GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT c.doc1, c.doc2, count(*) AS common
+       |  FROM cand c
+       |  JOIN dids a ON a.doc_id = c.doc1
+       |  JOIN dids b ON b.doc_id = c.doc2 AND b.sid = a.sid
+       |  GROUP BY c.doc1, c.doc2
+       |)
+       |SELECT i.doc1, i.doc2,
+       |       round(CAST(i.common AS DOUBLE) / CAST(s1.sz + s2.sz - i.common AS DOUBLE), 6) AS jaccard
+       |FROM inter i
+       |JOIN szs s1 ON s1.doc_id = i.doc1
+       |JOIN szs s2 ON s2.doc_id = i.doc2
+       |WHERE CAST(i.common AS DOUBLE) / CAST(s1.sz + s2.sz - i.common AS DOUBLE) >= 0.5""".stripMargin
+
+  val annTopkSql: String =
+    """WITH q AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |),
+      |c AS MATERIALIZED (
+      |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+      |),
+      |scored AS (
+      |  SELECT q.query_id, c.cand_id, list_cosine_similarity(q.qv, c.cv) AS cos
+      |  FROM q CROSS JOIN c WHERE c.cand_id != q.query_id
+      |)
+      |SELECT query_id, cand_id, round(cos, 6) AS cos, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5""".stripMargin
+
+  def tsLangidSql: String = {
+    val markers = graft.textstats.TextStats.Markers.map { case (lang, ws) =>
+      s"(${q(lang)}, [${ws.map(q).mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH m(lang, words) AS (VALUES $markers),
+       |scores AS MATERIALIZED (
+       |  SELECT d.doc_id, m.lang,
+       |         len(list_intersect(string_split(d.text, ' '), m.words)) AS hits
+       |  FROM documents d CROSS JOIN m
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       |       CAST(hits AS INTEGER) AS marker_hits
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+       |  FROM scores)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  def tsQualitySql: String = {
+    val stop = graft.textstats.TextStats.Markers.flatMap(_._2).distinct.sorted
+      .map(q).mkString(", ")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+       |         CAST(len(list_intersect(string_split(text, ' '), [$stop])) AS DOUBLE) AS n_stop,
+       |         CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens,
+       |       round(n_distinct / n_tokens, 6) AS distinct_ratio,
+       |       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       |       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_word_len,
+       |       round(0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+       |             + 0.3 * least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0), 6)
+       |         AS quality
+       |FROM t""".stripMargin
+  }
+
+  val tsTokensSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |       CAST((SELECT sum(CAST(ceil(length(t.tok) / 4.0) AS BIGINT))
+      |             FROM unnest(string_split(text, ' ')) t(tok)) AS BIGINT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  val tsFingerprintSql: String =
+    """WITH ftoks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS word,
+      |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents
+      |),
+      |fvocab AS MATERIALIZED (
+      |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+      |  FROM (SELECT DISTINCT word FROM ftoks WHERE length(word) > 0)
+      |)
+      |SELECT t.doc_id,
+      |       CAST(sum((v.wid * ((1 + 37 * (t.pos % 64)) % 2147483647)) % 2147483647)
+      |            % 2147483647 AS BIGINT) AS fingerprint
+      |FROM ftoks t JOIN fvocab v USING (word)
+      |WHERE length(t.word) > 0
+      |GROUP BY t.doc_id""".stripMargin
+
+  val streamWindowSql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def mmExtractSql: String = {
+    val pre = graft.sources.Pages.HtmlPrefix.length
+    val suf = graft.sources.Pages.HtmlSuffix.length
+    s"""SELECT 'https://graft.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       |       CAST(epoch(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND) AS BIGINT) AS warc_ts,
+       |       CAST($pre + length(text) + $suf AS INTEGER) AS html_len,
+       |       CAST(length(text) AS INTEGER) AS text_len,
+       |       TRUE AS extract_ok
+       |FROM documents""".stripMargin
+  }
 }

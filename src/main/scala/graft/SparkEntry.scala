@@ -116,6 +116,59 @@ object SparkEntry {
       // full transitive clustering of same-entity mention pairs (rows-only
       // check: CC at this scale is not reasonably SQL-expressible)
       Pipeline.clusters(s, dir)),
+
+    // ---- dedup suite --------------------------------------------------------
+    "dd_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exactDups(read(s, dir, "documents"))),
+    "dd_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashCandidates(
+        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+    "dd_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
+        graft.dedup.Dedup.augment(read(s, dir, "documents"))))),
+    "dd_jaccard" -> ((s, dir) => {
+      val docs = graft.dedup.Dedup.augment(read(s, dir, "documents"))
+      graft.dedup.Dedup.jaccardVerify(docs,
+        graft.dedup.Dedup.minhashCandidates(docs), 0.5)
+    }),
+
+    // ---- similarity search --------------------------------------------------
+    "ann_topk" -> ((s, dir) =>
+      graft.sim.Ann.bruteForceTopK(read(s, dir, "embeddings"))),
+    "ann_lsh" -> ((s, dir) =>
+      // LSH-bucketed variant (rows-only: recall-oriented, oracle is the
+      // exact brute force above)
+      graft.sim.Ann.lshTopK(read(s, dir, "embeddings"))),
+
+    // ---- text analysis ------------------------------------------------------
+    "ts_langid" -> ((s, dir) =>
+      graft.textstats.TextStats.langId(read(s, dir, "documents"))),
+    "ts_quality" -> ((s, dir) =>
+      graft.textstats.TextStats.quality(read(s, dir, "documents"))),
+    "ts_tokens" -> ((s, dir) =>
+      graft.textstats.TextStats.tokenCounts(read(s, dir, "documents"))),
+    "ts_fingerprint" -> ((s, dir) =>
+      graft.textstats.TextStats.fingerprint(read(s, dir, "documents"))),
+
+    // ---- streaming ----------------------------------------------------------
+    "stream_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(s, dir)),
+
+    // ---- multimodal / pages -------------------------------------------------
+    "mm_extract" -> ((s, dir) => {
+      val pages = graft.sources.Pages.fromDocuments(read(s, dir, "documents"))
+      pages.select(col("url"), col("warc_ts").cast("long").as("warc_ts"),
+        length(col("html")).as("html_len"),
+        length(col("text")).as("text_len"),
+        (graft.sources.Pages.extractTextUdf(col("html")) === col("text"))
+          .as("extract_ok"))
+    }),
+    "mm_features" -> ((s, dir) =>
+      // batched binary feature extraction with stubbed decode (rows-only)
+      graft.sources.Pages.extractFeatures(
+        graft.sources.Pages.fromDocuments(read(s, dir, "documents")))
+        .select(col("url"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,5 +206,16 @@ object SparkEntry {
     "el_annotate" -> Oracles.elAnnotateSql,
     "el_pairs" -> Oracles.elPairsSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
+    "dd_exact" -> Oracles.ddExactSql,
+    "dd_minhash" -> Oracles.ddMinhashSql,
+    "dd_simhash" -> Oracles.ddSimhashSql,
+    "dd_jaccard" -> Oracles.ddJaccardSql,
+    "ann_topk" -> Oracles.annTopkSql,
+    "ts_langid" -> Oracles.tsLangidSql,
+    "ts_quality" -> Oracles.tsQualitySql,
+    "ts_tokens" -> Oracles.tsTokensSql,
+    "ts_fingerprint" -> Oracles.tsFingerprintSql,
+    "stream_window" -> Oracles.streamWindowSql,
+    "mm_extract" -> Oracles.mmExtractSql,
   )
 }

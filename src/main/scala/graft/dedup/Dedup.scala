@@ -8,78 +8,80 @@ import org.apache.spark.sql.expressions.Window
   *
   * Every operator here is expressed so that an independent DuckDB oracle can
   * recompute it: hash functions are portable integer arithmetic over a
-  * deterministic global word-rank table (dense ranks of the corpus
-  * vocabulary), not engine-native hash() calls.
+  * deterministic global shingle-rank table, not engine-native hash() calls.
+  * (At 100 TB the rank table becomes xxhash64(shingle) — same plan shape,
+  * no global window — the rank-based ids exist for cross-engine oracle
+  * parity at test scale.)
   *
   * Scale notes: exact dedup is one hash aggregation; MinHash signatures are
-  * per-row (no shuffle) after one broadcast join against the vocabulary;
-  * LSH banding turns near-dup discovery into an equi-join on (band, bucket
-  * key) — linear shuffle, no quadratic pair scan; SimHash is a per-row
-  * fold. All are the standard web-scale constructions (Broder 1997 /
-  * Charikar 2002).
+  * per-row after one join against the shingle ids; LSH banding turns
+  * near-dup discovery into an equi-join on (band, bucket) — linear shuffle,
+  * no quadratic pair scan; SimHash is a per-row fold; the Jaccard verify
+  * step runs only on LSH candidates. Standard web-scale constructions
+  * (Broder 1997 / Charikar 2002).
   */
 object Dedup {
 
-  // portable 31-bit modulus for hash arithmetic (fits exactly in doubles
-  // and BIGINTs on both engines)
+  // portable 31-bit modulus for hash arithmetic (exact in doubles + BIGINTs)
   val P = 2147483647L // 2^31 - 1
+  val ShingleSize = 3
 
-  /** deterministic global word ids: dense_rank over the sorted distinct
-    * vocabulary of the corpus. Broadcastable (vocabulary ≪ corpus). */
-  def wordRanks(docs: DataFrame): DataFrame = {
-    docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .withColumn("wid", row_number().over(Window.orderBy(col("word"))).cast("long"))
-  }
-
-  /** Exact duplicate groups: group by full text (hash aggregate), keep
-    * groups of size > 1, expose (doc_id, dup_group = min doc_id, group
-    * size). */
+  /** Exact duplicate groups: group by full text (hash aggregate), expose
+    * (doc_id, dup_group = min doc_id with identical text, group_size). */
   def exactDups(docs: DataFrame): DataFrame = {
     val groups = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("dup_group"), count(lit(1)).as("group_size"))
-      .filter(col("group_size") > 1)
     docs.join(groups, Seq("text"))
-      .select(col("doc_id"), col("dup_group"), col("group_size").cast("long"))
+      .select(col("doc_id"), col("dup_group"), col("group_size"))
   }
 
-  /** doc -> distinct word ids (the set representation for Jaccard). */
-  private def docWordIds(docs: DataFrame, ranks: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(ranks), Seq("word"))
-      .select(col("doc_id"), col("wid"))
+  /** token 3-gram shingles per doc (distinct). The set representation for
+    * Jaccard/MinHash; word-sets would be degenerate on small vocabularies. */
+  def docShingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = when(size(toks) >= ShingleSize,
+      array_distinct(expr(
+        s"transform(sequence(0, size(split(text, ' ')) - $ShingleSize), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $ShingleSize)))")))
+      .otherwise(array())
+    docs.select(col("doc_id"), explode(sh).as("shingle"))
+  }
 
-  /** MinHash signatures: minhash_i(doc) = min over words of
-    * (a_i * wid + b_i) mod P, with deterministic (a_i, b_i) streams.
-    * One row per (doc, i). */
-  def minhashSignatures(docs: DataFrame, ranks: DataFrame, numHashes: Int): DataFrame = {
-    val ids = docWordIds(docs, ranks)
+  /** deterministic global shingle ids: dense rank over the sorted distinct
+    * shingle set. Single-partition window is intentional here (oracle
+    * parity); the scale path swaps in xxhash64. */
+  def shingleRanks(shingles: DataFrame): DataFrame =
+    shingles.select(col("shingle")).distinct()
+      .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+
+  def docShingleIds(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    sh.join(broadcast(shingleRanks(sh)), Seq("shingle"))
+      .select(col("doc_id"), col("sid"))
+  }
+
+  /** MinHash signatures: mh_i(doc) = min over shingles of
+    * ((1+37i)*sid + (11+17i)) mod P. One row per (doc, i). */
+  def minhashSignatures(ids: DataFrame, numHashes: Int): DataFrame = {
     val hashes = (0 until numHashes).map { i =>
-      val a = 1L + 37L * i
-      val b = 11L + 17L * i
-      min((lit(a) * col("wid") + lit(b)) % lit(P)).as(s"mh_$i")
+      min((lit(1L + 37L * i) * col("sid") + lit(11L + 17L * i)) % lit(P)).as(s"mh_$i")
     }
     val sig = ids.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
-    // unpivot to (doc_id, h, value)
     val stacked = (0 until numHashes).map(i =>
       struct(lit(i).as("h"), col(s"mh_$i").as("v")))
     sig.select(col("doc_id"), explode(array(stacked: _*)).as("s"))
       .select(col("doc_id"), col("s.h").as("h"), col("s.v").as("v"))
   }
 
-  /** LSH banding: band b = hashes [b*rowsPerBand, (b+1)*rowsPerBand);
-    * bucket key = sum of v * 31^row mod P. Candidate pairs = docs sharing
-    * any (band, bucket). */
+  /** LSH banding (numHashes/bands rows per band); bucket key =
+    * sum(v * 31^(h mod rows)) mod P. Candidate pairs = docs sharing any
+    * (band, bucket) — an equi-join, linear in collisions. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val ranks = wordRanks(docs)
-    val sig = minhashSignatures(docs, ranks, numHashes)
+    val sig = minhashSignatures(docShingleIds(docs), numHashes)
     val banded = sig
       .withColumn("band", (col("h") / lit(rows)).cast("int"))
-      .withColumn("pw", pow(lit(31.0), (col("h") % lit(rows)).cast("double")).cast("long"))
+      .withColumn("pw", when(col("h") % lit(rows) === 0, lit(1L)).otherwise(lit(31L)))
       .groupBy(col("doc_id"), col("band"))
       .agg((sum(col("v") * col("pw")) % lit(P)).as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"))
@@ -91,13 +93,12 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash-64 fingerprint: per word-id bit b = (wid * C1 + C2 * (b+1))
-    * mod P mod 2 (a portable deterministic bit stream); fingerprint bit =
-    * majority sign. Computed per row with bounded bit width. */
-  def simhash(docs: DataFrame, ranks: DataFrame, bits: Int = 16): DataFrame = {
-    val ids = docWordIds(docs, ranks)
+  /** SimHash fingerprint over shingle ids: bit b sign =
+    * ((sid * 2654435761 + 40503*(b+1)) mod P) mod 2; fingerprint bit set
+    * when the signed sum is positive. */
+  def simhash(ids: DataFrame, bits: Int = 32): DataFrame = {
     val bitCols = (0 until bits).map { b =>
-      sum(when(((col("wid") * lit(2654435761L) + lit(40503L) * lit(b + 1)) % lit(P)) % 2 === 1,
+      sum(when(((col("sid") * lit(2654435761L) + lit(40503L) * lit(b + 1)) % lit(P)) % 2 === 1,
         lit(1)).otherwise(lit(-1))).as(s"bit_$b")
     }
     val agg = ids.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
@@ -107,15 +108,14 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Token-shingle Jaccard similarity for candidate pairs (exact verify step
-    * after LSH): |A ∩ B| / |A ∪ B| over distinct word sets. */
+  /** Exact shingle-Jaccard verification of candidate pairs (the verify step
+    * after LSH): |A ∩ B| / |A ∪ B| >= threshold. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val ranks = wordRanks(docs)
-    val ids = docWordIds(docs, ranks)
+    val ids = docShingleIds(docs)
     val sizes = ids.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = ids.select(col("doc_id").as("doc1"), col("wid"))
-    val b = ids.select(col("doc_id").as("doc2"), col("wid"))
-    val inter = pairs.join(a, Seq("doc1")).join(b, Seq("doc2", "wid"))
+    val a = ids.select(col("doc_id").as("doc1"), col("sid"))
+    val b = ids.select(col("doc_id").as("doc2"), col("sid"))
+    val inter = pairs.join(a, Seq("doc1")).join(b, Seq("doc2", "sid"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), Seq("doc1"))
@@ -125,5 +125,16 @@ object Dedup {
           (col("sz1") + col("sz2") - col("common")).cast("double"), 6))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Deterministic near-dup augmentation for small scale factors (the
+    * driver corpus has no planted near-dups below sf0.1): every 50th doc
+    * gets a variant with the first 5 tokens dropped, id +10^6. Pure
+    * projection, reproducible in the SQL oracle. */
+  def augment(docs: DataFrame): DataFrame = {
+    val variant = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(variant)
   }
 }

@@ -32,7 +32,8 @@ object EventStream {
     val name = "graft_stream_window_" + math.abs(sfDir.hashCode)
     val stream = spark.readStream
       .schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -43,8 +44,10 @@ object EventStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+      // epoch seconds: timestamp dtypes do not compare portably across
+      // engines/arrow versions; the oracle casts identically
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
   }
 
   /** Stateless stream upsert into the dictionary table (the reference edit

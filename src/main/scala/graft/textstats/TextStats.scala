@@ -71,15 +71,25 @@ object TextStats {
         .as("bpe_tokens"))
   }
 
+  /** deterministic word ids: dense rank over the sorted corpus vocabulary
+    * (small; the scale path is xxhash64 — rank ids exist for oracle
+    * parity). */
+  def wordRanks(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("word"))).cast("long"))
+
   /** rolling-hash document fingerprint: sum over tokens of
-    * wid(token) * (37^position-ish multiplier) mod P — position-sensitive
+    * wid(token) * (position multiplier) mod P — position-sensitive
     * (anagram docs get different prints), portable arithmetic. */
-  def fingerprint(docs: DataFrame, ranks: DataFrame): DataFrame = {
+  def fingerprint(docs: DataFrame): DataFrame = {
     val p = graft.dedup.Dedup.P
     val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "word")
       .filter(length(col("word")) > 0)
-    toks.join(broadcast(ranks), Seq("word"))
+    toks.join(broadcast(wordRanks(docs)), Seq("word"))
       .withColumn("mult", (lit(1L) + lit(37L) * (col("pos") % lit(64))) % lit(p))
       .groupBy(col("doc_id"))
       .agg((sum((col("wid") * col("mult")) % lit(p)) % lit(p)).as("fingerprint"))

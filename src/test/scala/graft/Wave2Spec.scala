@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Pages
+import graft.ckpt.Snapshots
+import graft.dedup.Dedup
+import graft.textstats.TextStats
+
+class Wave2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("INVARIANT: extracted text is byte-identical per url (input_hint)") {
+    val pages = Pages.fromDocuments(docs)
+    val bad = pages
+      .withColumn("extracted", Pages.extractTextUdf(col("html")))
+      .filter(col("extracted") =!= col("text"))
+      .count()
+    assert(bad == 0)
+    // and the raw bytes round-trip exactly
+    val row = pages.select("html", "text").head()
+    val extracted = Pages.extractText(row.getAs[Array[Byte]](0))
+    assert(extracted.getBytes("UTF-8").sameElements(row.getString(1).getBytes("UTF-8")))
+  }
+
+  test("pages schema matches the input_hint shape") {
+    val pages = Pages.fromDocuments(docs)
+    assert(pages.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+      ("text", "string"), ("lang", "string")))
+    assert(pages.select("url").distinct().count() == pages.count())
+  }
+
+  test("snapshot checkpoint: commit, lineage, per-partition counters, resume") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    var builds = 0
+    def build = { builds += 1; docs.select("doc_id", "lang").repartition(3) }
+
+    val (df1, tok1) = Snapshots.resumeOrRun(spark, root, "stage_a", Seq("src:0"))(build)
+    assert(builds == 1 && df1.count() == 500 && tok1 == "stage_a:0")
+    val (_, m) = (Snapshots.latest(spark, root, "stage_a").get)
+    // resume: same lineage -> no recompute
+    val (df2, tok2) = Snapshots.resumeOrRun(spark, root, "stage_a", Seq("src:0"))(build)
+    assert(builds == 1 && tok2 == "stage_a:0" && df2.count() == 500)
+    // changed upstream lineage -> recompute as snapshot 1
+    val (_, tok3) = Snapshots.resumeOrRun(spark, root, "stage_a", Seq("src:1"))(build)
+    assert(builds == 2 && tok3 == "stage_a:1")
+    // manifest carries per-partition counters that sum to the row count
+    val manifest = Snapshots.latest(spark, root, "stage_a").get._2
+    assert(manifest.rows == 500 && manifest.inputs == Seq("src:1"))
+  }
+
+  test("exact dedup groups singletons to themselves and dups to min id") {
+    val d = Seq((1L, "x y z"), (2L, "a b c"), (5L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.exactDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (5L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-dups and jaccard verifies them") {
+    val aug = Dedup.augment(docs)
+    val cand = Dedup.minhashCandidates(aug).cache()
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select("doc_id").as[Long].collect().filter(_ % 50 == 0)
+      .map(d => (d, d + 1000000L)).toSet
+    // LSH is probabilistic by construction: short docs lose a large shingle
+    // fraction to the 5-token drop, so a small miss rate is expected.
+    val found = planted.intersect(pairs)
+    assert(planted.nonEmpty && found.size >= (planted.size * 8) / 10,
+      s"LSH recall too low: ${found.size}/${planted.size}")
+    // every found planted pair survives the exact-Jaccard verify at 0.5
+    val verified = Dedup.jaccardVerify(aug, cand, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(verified))
+  }
+
+  test("simhash: near-dups are closer in hamming distance than random docs") {
+    val aug = Dedup.augment(docs)
+    val fp = Dedup.simhash(Dedup.docShingleIds(aug))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = fp.keys.filter(_ >= 1000000L).toSeq
+    assert(planted.nonEmpty)
+    val nearHam = planted.map(v => ham(fp(v), fp(v - 1000000L)))
+    // random-pair baseline: consecutive raw docs
+    val rawIds = fp.keys.filter(_ < 1000000L).toSeq.sorted
+    val randHam = rawIds.zip(rawIds.tail).take(100).map { case (a, b) => ham(fp(a), fp(b)) }
+    val nearMean = nearHam.sum.toDouble / nearHam.size
+    val randMean = randHam.sum.toDouble / randHam.size
+    assert(nearMean < randMean / 2,
+      s"near-dup hamming $nearMean not clearly below random $randMean")
+  }
+
+  test("langid predicts the marker language deterministically") {
+    val d = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat of the house is big"),
+      (3L, "xyz qqq www")).toDF("doc_id", "text")
+    val got = TextStats.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "und"))
+  }
+
+  test("token counts + fingerprint are deterministic and positive") {
+    val tc = TextStats.tokenCounts(docs).agg(
+      sum(col("ws_tokens")), sum(col("bpe_tokens"))).head()
+    assert(tc.getLong(0) > 0 && tc.getLong(1) >= tc.getLong(0))
+    val fp = TextStats.fingerprint(docs)
+    assert(fp.count() == 500)
+    // position sensitivity: permuted doc gets a different fingerprint
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val two = TextStats.fingerprint(d).collect().map(_.getLong(1)).toSet
+    assert(two.size == 2)
+  }
+
+  test("streaming windowed aggregation equals the batch aggregation") {
+    val got = graft.streaming.EventStream.windowedCounts(spark, sf)
+    val batch = spark.read
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("dict upsert merge: updates win by revid, deletes handled upstream") {
+    val current = Seq(("Q1", 5L, "old"), ("Q2", 3L, "keep")).toDF("id", "revid", "label")
+    val updates = Seq(("Q1", 9L, "new"), ("Q3", 1L, "add")).toDF("id", "revid", "label")
+    val merged = graft.streaming.EventStream.dictUpserts(spark, updates, current)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(merged == Map("Q1" -> "new", "Q2" -> "keep", "Q3" -> "add"))
+  }
+
+  test("ann: brute-force topk is sane and lsh candidates are a subset source") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = graft.sim.Ann.bruteForceTopK(emb, k = 5).cache()
+    val q = bf.select("query_id").distinct().count()
+    assert(q == emb.filter(col("vec_id") % 100 === 0).count())
+    val grouped = bf.groupBy("query_id").count().collect()
+    assert(grouped.forall(_.getLong(1) == 5))
+    // cosine within [-1, 1]
+    val mm = bf.agg(min("cos"), max("cos")).head()
+    assert(mm.getDouble(0) >= -1.0000001 && mm.getDouble(1) <= 1.0000001)
+    val lsh = graft.sim.Ann.lshTopK(emb, k = 5)
+    assert(lsh.count() > 0)
+  }
+
+  test("multimodal feature extraction: batched, deterministic, normalized") {
+    val pages = Pages.fromDocuments(docs.limit(100))
+    val f = Pages.extractFeatures(pages).cache()
+    assert(f.count() == 100)
+    val r = f.head()
+    val feats = r.getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
+  }
+}
