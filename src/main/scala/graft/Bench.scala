@@ -51,10 +51,10 @@ object Bench {
     * Returns processed page count. */
   private def runPipeline(spark: SparkSession, docs: DataFrame,
       a: Pipeline.Artifacts): Long = {
-    import graft.link.{Mentions, Pairs, Scoring}
+    import graft.link.{DocClassifier, Mentions, Pairs, Scoring}
     val mentions = Mentions.extract(docs, a.dictKeys, a.maxKeyTokens)
     val tags = Mentions.candidates(mentions, a.dictKeys, a.entityDict, a.pagerank, a.bow)
-    val best = Scoring.bestLinks(tags, Scoring.Params(), Scoring.defaultModel())
+    val best = DocClassifier.bestLinks(tags, Scoring.Params(), Scoring.defaultModel())
     val pairs = Pairs.candidatePairs(best)
     pairs.count()
   }

@@ -79,12 +79,14 @@ object Pipeline {
       Mentions.candidates(mentions(spark, sfDir), a.dictKeys, a.entityDict, a.pagerank, a.bow)
     }
 
-  /** best entity link per mention (flagship annotate query). */
+  /** best entity link per mention (flagship annotate query). Uses the
+    * fused doc-local classifier (one shuffle); the declarative Scoring
+    * path is the semantic oracle, pinned equal by ScoringSpec. */
   def annotate(spark: SparkSession, sfDir: String,
       params: Scoring.Params = Scoring.Params()): DataFrame =
     cached(spark, sfDir, s"annotate:$params") {
       val tags = candidates(spark, sfDir)
-      Scoring.bestLinks(tags, params, Scoring.defaultModel(params.nbSteps))
+      graft.link.DocClassifier.bestLinks(tags, params, Scoring.defaultModel(params.nbSteps))
     }
 
   /** blocked candidate pairs with surface similarity + linkage decision. */

@@ -198,4 +198,16 @@ object DictBuild {
     import spark.implicits._
     spark.createDataset(DictSpec.dumpLines)
   }
+
+  /** Qid/Pid normalization (utils.py:3-34): extract the trailing Q/P id
+    * from an entity URI, null when absent. */
+  def qidFromUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = regexp_extract(c, "(Q[1-9][0-9]*)$", 1)
+    when(length(m) > 0, m)
+  }
+
+  def pidFromUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = regexp_extract(c, "(P[1-9][0-9]*)$", 1)
+    when(length(m) > 0, m)
+  }
 }

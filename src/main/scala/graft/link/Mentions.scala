@@ -64,8 +64,11 @@ object Mentions {
     * counts are bounded, so the join is an equi-join on doc_id with a tiny
     * quadratic residual. */
   def resolveSpans(matched: DataFrame): DataFrame = {
+    // the distinct span set feeds both sides of the containment anti-join:
+    // persist so the scan->flatMap->join front half runs once
     val spans = matched
       .select("doc_id", "start", "end", "surface", "norm_key").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val container = spans.select(
       col("doc_id").as("c_doc"), col("start").as("c_start"), col("end").as("c_end"))
     val noSub = spans.join(container,

@@ -26,7 +26,9 @@ object Scoring {
   final case class Params(
       nbSteps: Int = 2,
       maxSimilarityDistance: Int = 100,
-      similaritySmoothing: Double = 0.1)
+      similaritySmoothing: Double = 0.1,
+      similarity: String = "direct_link", // direct_link | edge_ratio | one_step
+      beta: Double = 0.85)
 
   /** Frozen linear model: decision = w.((x-mean)/scale) + intercept.
     * Feature layout: 5*(nbSteps+1) columns [ll, rank, nb_statements,
@@ -57,6 +59,41 @@ object Scoring {
       when(qidB === qidA, lit(1.0))
         .otherwise(when(array_contains(edgesB, qidA.cast("int")), lit(1.0)).otherwise(lit(0.0)))
 
+  /** EdgeRatioSimilarity (similarities.py:41-49): self-loops added, then
+    * 0.5*(|A∩B|/|A| + |A∩B|/|B|). NB the reference mutates the edge SETS
+    * (dedup) before the ratio. */
+  def edgeRatioSim(qidA: Column, edgesA: Column, qidB: Column, edgesB: Column): Column = {
+    val a = array_union(array_distinct(edgesA), array(qidA.cast("int")))
+    val b = array_union(array_distinct(edgesB), array(qidB.cast("int")))
+    val common = size(array_intersect(a, b)).cast("double")
+    lit(0.5) * (common / size(a).cast("double") + common / size(b).cast("double"))
+  }
+
+  /** OneStepSimilarity(beta) (similarities.py:52-69) over deduped edge
+    * sets (no self-loop injection here, matching the reference). */
+  def oneStepSim(beta: Double)(qidA: Column, edgesA: Column, qidB: Column, edgesB: Column): Column = {
+    val a = array_distinct(edgesA)
+    val b = array_distinct(edgesB)
+    val common = size(array_intersect(a, b)).cast("double")
+    val t1 = when(qidA === qidB, lit(beta * beta)).otherwise(lit(0.0))
+    val t2 = when(array_contains(a, qidB.cast("int")),
+      lit((1 - beta) * beta) / size(a).cast("double")).otherwise(lit(0.0))
+    val t3 = when(array_contains(b, qidA.cast("int")),
+      lit(beta * (1 - beta)) / size(b).cast("double")).otherwise(lit(0.0))
+    val t4 = when(common > 0,
+      lit((1 - beta) * (1 - beta)) * (common / size(a).cast("double")) *
+        (common / size(b).cast("double"))).otherwise(lit(0.0))
+    t1 + t2 + t3 + t4
+  }
+
+  def similarityFn(params: Params): (Column, Column, Column, Column) => Column =
+    params.similarity match {
+      case "direct_link" => directLinkSim
+      case "edge_ratio" => edgeRatioSim
+      case "one_step" => oneStepSim(params.beta)
+      case other => throw new IllegalArgumentException(s"unknown similarity: $other")
+    }
+
   /** Normalized similarity edge list (doc, src tag -> dst tag, weight):
     * src is the tag whose similarity list the entry lives in; propagation
     * sends features src -> dst (adj[dst, src] = w). Self-edges carry the
@@ -73,13 +110,14 @@ object Scoring {
     val distance = greatest(col("start") - col("r_end"), col("r_start") - col("end"))
     val d = lit(params.maxSimilarityDistance.toDouble)
 
+    val sim = similarityFn(params)
     val cross = left.join(right,
       col("doc_id") === col("r_doc") &&
         !(col("start") === col("r_start") && col("end") === col("r_end")) &&
         distance <= lit(params.maxSimilarityDistance))
       .withColumn("raw_sim",
         (lit(params.similaritySmoothing) +
-          directLinkSim(col("qid_num"), col("edges"), col("r_qid_num"), col("r_edges"))) *
+          sim(col("qid_num"), col("edges"), col("r_qid_num"), col("r_edges"))) *
           ((d - distance.cast("double")) / d))
       .filter(col("raw_sim") > lit(0.0))
       .select(col("doc_id"),
@@ -118,6 +156,10 @@ object Scoring {
       col("src_start"), col("src_end"), col("src_qid"),
       col("dst_start"), col("dst_end"), col("dst_qid"), col("weight"))
     for (step <- 1 to params.nbSteps) {
+      // each step reads the previous feat TWICE (propagation join + carry
+      // join): persist it or the whole upstream pipeline re-executes
+      // exponentially in nbSteps
+      feat = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prev = (0 until 5).map(i => col(s"f${step - 1}_$i"))
       val j = e.join(feat,
         col("e_doc") === feat("doc_id") &&
@@ -151,8 +193,13 @@ object Scoring {
 
   /** Score all tags and pick the best per mention (score > 0,
     * classifier.py:323-338). Returns mention-level rows with best_qid. */
-  def bestLinks(tags: DataFrame, params: Params, model: SvmModel): DataFrame = {
+  def bestLinks(tags0: DataFrame, params: Params, model: SvmModel): DataFrame = {
+    // tags feeds the similarity self-join (x2), the feature base and the
+    // final score join: persist once, or the whole upstream extraction
+    // pipeline re-executes for every branch
+    val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = similarityEdges(tags, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = propagateFeatures(tags, edges, params)
     val scored = tags
       .select("doc_id", "start", "end", "surface", "norm_key", "qid", "label", "tag_order")

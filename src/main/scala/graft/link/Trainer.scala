@@ -1,0 +1,96 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.classification.LinearSVC
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+
+/** The reference `train-classifier` path (cli.py:176-208,
+  * classifier.py:160-260) on spark.ml:
+  *
+  *  - design matrix = the propagated per-tag feature columns;
+  *  - labels: a tag is positive iff its mention span matches a gold phrase
+  *    (doc, start, end) AND the tag qid equals the gold qid
+  *    (classifier.py:188-195);
+  *  - StandardScaler (with mean) -> LinearSVC with balanced class weights
+  *    (sklearn class_weight='balanced' == weightCol n/(2*n_class));
+  *  - the fitted pipeline is exported as a frozen Scoring.SvmModel so the
+  *    serving path stays pure column arithmetic (no mllib at inference).
+  */
+object Trainer {
+
+  /** gold phrases fixture: (doc_id, start, end, qid). */
+  final case class Gold(doc_id: Long, start: Int, end: Int, qid: String)
+
+  /** label tags against gold (inner span match, qid equality). */
+  def labelTags(feats: DataFrame, gold: DataFrame): DataFrame =
+    feats.join(gold.select(col("doc_id"), col("start"), col("end"),
+      col("qid").as("gold_qid")), Seq("doc_id", "start", "end"), "left")
+      .withColumn("label",
+        when(col("gold_qid").isNotNull && col("gold_qid") === col("qid"), 1.0)
+          .otherwise(0.0))
+      .drop("gold_qid")
+
+  /** Train and export a frozen linear model. */
+  def train(tags: DataFrame, gold: DataFrame, params: Scoring.Params,
+      c: Double = 0.001, maxIter: Int = 100): Scoring.SvmModel = {
+    val dim = 5 * (params.nbSteps + 1)
+    val featCols = (0 to params.nbSteps).flatMap(s => (0 until 5).map(i => s"f${s}_$i"))
+
+    val edges = Scoring.similarityEdges(tags, params)
+    val feats = Scoring.propagateFeatures(tags, edges, params)
+    val labeled = labelTags(feats, gold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val counts = labeled.groupBy(col("label")).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    require(counts.getOrElse(1.0, 0L) > 0, "no positive samples (classifier.py:212)")
+    val wPos = n / (2.0 * counts(1.0))
+    val wNeg = n / (2.0 * counts(0.0))
+
+    val prepared = new VectorAssembler()
+      .setInputCols(featCols.toArray).setOutputCol("raw_features")
+      .transform(labeled
+        .withColumn("weight", when(col("label") === 1.0, lit(wPos)).otherwise(lit(wNeg))))
+
+    val scalerModel = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+      .fit(prepared)
+    val scaled = scalerModel.transform(prepared)
+
+    val svc = new LinearSVC()
+      .setRegParam(c).setMaxIter(maxIter)
+      .setLabelCol("label").setWeightCol("weight").setFeaturesCol("features")
+      .fit(scaled)
+
+    labeled.unpersist()
+    val sigma = scalerModel.std.toArray.map(s => if (s == 0.0) 1.0 else s)
+    Scoring.SvmModel(
+      weights = svc.coefficients.toArray,
+      mean = scalerModel.mean.toArray,
+      scale = sigma,
+      intercept = svc.intercept)
+  }
+
+  /** evaluate_model (classifier.py:221-260): precision over predictions,
+    * recall over gold judgments, on the best-link output. */
+  def evaluate(best: DataFrame, gold: DataFrame): (Double, Double, Double) = {
+    val g = gold.select(col("doc_id"), col("start"), col("end"),
+      col("qid").as("gold_qid"))
+    val joined = best.join(g, Seq("doc_id", "start", "end"), "left")
+    val r = joined.agg(
+      sum(when(col("gold_qid").isNotNull && col("gold_qid") === col("best_qid"), 1L)
+        .otherwise(0L)).as("valid"),
+      count(lit(1)).as("preds")).head()
+    val valid = r.getLong(0).toDouble
+    val preds = r.getLong(1).toDouble
+    val judgments = g.count().toDouble
+    val p = if (preds > 0) valid / preds else 1.0
+    val rec = if (judgments > 0) valid / judgments else 1.0
+    val f1 = if (p + rec > 0) 2 * p * rec / (p + rec) else 0.0
+    (p, rec, f1)
+  }
+}

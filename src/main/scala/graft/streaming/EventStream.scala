@@ -63,4 +63,22 @@ object EventStream {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** delete_excluded semantics (taggerfactory.py:49-95, cli.py:161): a
+    * micro-batch of RAW dump items is re-projected through the indexing
+    * profile; items that project to a document are upserted, items the
+    * profile now filters out are DELETED from the dictionary. */
+  def applyDumpUpdates(spark: SparkSession, current: DataFrame,
+      rawUpdateLines: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import graft.dict.{DictBuild, DictSpec}
+    val items = DictBuild.parseDump(rawUpdateLines)
+    val closures = DictSpec.profile.restrictTypes.map { c =>
+      c.qid -> DictSpec.subclassClosure(c.qid.drop(1).toInt)
+    }.toMap
+    val projected = DictBuild.entityToDocument(items, DictSpec.profile, closures)
+    val touched = items.select(col("it.id").as("id")).distinct()
+    val deletes = touched.join(projected.select("id"), Seq("id"), "left_anti")
+    val kept = current.join(deletes, Seq("id"), "left_anti")
+    dictUpserts(spark, projected, kept)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dict.DictSpec
+import graft.link.{Mentions, Scoring, Trainer}
+
+class TrainerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val params = Scoring.Params()
+
+  /** gold = extracted spans labeled with the planted surface->entity map. */
+  def goldFor(tags: org.apache.spark.sql.DataFrame) = {
+    val goldMap = DictSpec.goldQidByKey
+    val goldUdf = udf { s: String => goldMap.get(s) }
+    tags.select("doc_id", "start", "end", "surface").distinct()
+      .withColumn("qid", goldUdf(col("surface")))
+      .filter(col("qid").isNotNull)
+      .select("doc_id", "start", "end", "qid")
+  }
+
+  test("LinearSVC training learns to rank the planted gold entity first") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val tags = Mentions.candidates(
+      Mentions.extract(docs, a.dictKeys, a.maxKeyTokens),
+      a.dictKeys, a.entityDict, a.pagerank, a.bow)
+      .persist()
+    val gold = goldFor(tags).persist()
+
+    val model = Trainer.train(tags, gold, params, c = 0.01, maxIter = 50)
+    assert(model.weights.length == 15)
+
+    val best = Scoring.bestLinks(tags, params, model)
+    val (p, r, f1) = Trainer.evaluate(best, gold)
+    info(f"trained model: precision=$p%.4f recall=$r%.4f f1=$f1%.4f")
+    assert(f1 >= 0.95, f"trained model f1 too low: $f1%.4f")
+
+    // the trained model must also resolve the ambiguous 'merge' key to Q8
+    val mergeBest = best.filter(col("surface") === "merge")
+      .select("best_qid").distinct().as[String].collect().toSet
+    assert(mergeBest == Set("Q8"))
+  }
+
+  test("evaluate matches reference P/R/F1 arithmetic on a crafted case") {
+    val best = Seq(
+      (1L, 0, 4, "Q1"), // correct
+      (1L, 5, 9, "Q2"), // wrong qid
+      (2L, 0, 4, "Q3") // no gold -> false positive
+    ).toDF("doc_id", "start", "end", "best_qid")
+    val gold = Seq(
+      (1L, 0, 4, "Q1"),
+      (1L, 5, 9, "Q9"),
+      (3L, 0, 4, "Q7") // gold mention never predicted
+    ).toDF("doc_id", "start", "end", "qid")
+    val (p, r, f1) = Trainer.evaluate(best, gold)
+    assert(math.abs(p - 1.0 / 3) < 1e-12)
+    assert(math.abs(r - 1.0 / 3) < 1e-12)
+    assert(math.abs(f1 - 1.0 / 3) < 1e-12)
+  }
+}
