@@ -80,13 +80,14 @@ object Pipeline {
     }
 
   /** best entity link per mention (flagship annotate query). Uses the
-    * fused doc-local classifier (one shuffle); the declarative Scoring
-    * path is the semantic oracle, pinned equal by ScoringSpec. */
+    * single-shuffle fused pipeline; the staged declarative path is the
+    * semantic oracle, pinned equal by ScoringSpec/FusedSpec. */
   def annotate(spark: SparkSession, sfDir: String,
       params: Scoring.Params = Scoring.Params()): DataFrame =
     cached(spark, sfDir, s"annotate:$params") {
-      val tags = candidates(spark, sfDir)
-      graft.link.DocClassifier.bestLinks(tags, params, Scoring.defaultModel(params.nbSteps))
+      graft.link.FusedAnnotate.annotate(
+        documents(spark, sfDir), artifacts(spark), params,
+        Scoring.defaultModel(params.nbSteps))
     }
 
   /** blocked candidate pairs with surface similarity + linkage decision. */

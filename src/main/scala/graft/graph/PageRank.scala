@@ -47,14 +47,22 @@ object PageRank {
     * plus the shared background value for all other indices in [0, N). */
   def run(spark: SparkSession, edges: DataFrame, lastQid: Long, iterations: Int = 16): Result = {
     val n = lastQid + 1
+    // partition the working set proportionally to its size: a per-iteration
+    // job over 64 near-empty partitions costs more in scheduling than in
+    // compute (the graph is joined 16x, so per-round latency multiplies)
+    val eCount = edges.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2,
+      (eCount / 100000L).toInt + 1))
     val e = edges.select(col("src"), col("dst"), col("weight"))
+      .repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once; reused 16x
 
     var ranks: DataFrame = null // (qid, rank) for explicit nodes
+    var prev: DataFrame = null // kept to document round-to-round handoff
     var background = 1.0 / n
 
-    for (_ <- 0 until iterations) {
+    for (it <- 0 until iterations) {
       val srcRank =
         if (ranks == null) e.withColumn("srank", lit(background))
         else e.join(ranks.withColumnRenamed("qid", "src"), Seq("src"), "left")
@@ -62,9 +70,14 @@ object PageRank {
       val nv = srcRank
         .groupBy(col("dst"))
         .agg(sum(col("srank") * col("weight")).as("mass"))
+      // LAZY localCheckpoint truncates the logical plan (16 nested
+      // join+agg rounds otherwise OOM the driver during planning); the l1
+      // aggregation right after is the ONE materializing job per round
       val newRanks = nv.select(col("dst").as("qid"), col("mass").as("rank"))
-        .localCheckpoint(true)
+        .repartition(parts, col("qid"))
+        .localCheckpoint(false)
       val l1 = newRanks.agg(sum(col("rank"))).head().getDouble(0)
+      prev = newRanks
       val comp = (1.0 - l1) / n
       ranks = newRanks.withColumn("rank", col("rank") + lit(comp))
       background = comp

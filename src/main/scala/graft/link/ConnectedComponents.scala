@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Transitive clustering: connected components via alternating
   * large-star / small-star DataFrame self-joins (north_rule; Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14). No RDDs, no
-  * GraphX: each round is groupBy(min) + join, lineage truncated per round
-  * with localCheckpoint, converging in O(log n) rounds even on the skewed
-  * star-shaped clusters web entity data produces.
+  * GraphX: each round is groupBy(min) + join, working set persisted per
+  * round (one materializing job each), converging in O(log n) rounds even
+  * on the path-shaped blocks sorted-neighborhood pairing produces.
   *
   * Input: undirected edge list (src, dst) of same-entity links (longs).
   * Output: (node, component) where component = min node id reachable.
@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** large-star: for each node u, connect every strictly-larger neighbor v
-    * to m = min(N(u) ∪ {u}). Keeps (v, m) edges with v > m. */
+    * to m = min(N(u) ∪ {u}). */
   private def largeStar(edges: DataFrame): DataFrame = {
     val bi = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
@@ -24,11 +24,11 @@ object ConnectedComponents {
     bi.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** small-star: orient edges large->small; connect each small neighbor
-    * (and u itself) to the minimum. */
+    * (and u itself) to the minimum. Deduplicates its input and output (the
+    * only distincts in a round). */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("u"),
@@ -42,32 +42,37 @@ object ConnectedComponents {
     nbr.unionByName(self).distinct()
   }
 
-  /** Signature of an edge set for convergence detection: (count, sum of a
-    * symmetric hash). One aggregation, no collect of the edge list. */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(
-      count(lit(1)).as("c"),
-      coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+  /** Runs to fixpoint; returns (node, component). */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
+      verbose: Boolean = false): DataFrame = {
+    val eCount0 = edges.count()
+    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism * 2,
+      (eCount0 / 100000L).toInt + 1))
 
-  /** Runs to fixpoint; returns (node, component). Nodes present only as
-    * isolated vertices must be unioned in by the caller if desired. */
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var cur = edges
-      .filter(col("src") =!= col("dst"))
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    def materialize(df: DataFrame): (DataFrame, (Long, Long)) = {
+      // lazy localCheckpoint: truncates lineage across rounds (plan blowup
+      // otherwise); the signature aggregation is the one materializing job
+      val p = df.repartition(parts, col("src")).localCheckpoint(false)
+      val r = p.agg(count(lit(1)),
+        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))).head()
+      (p, (r.getLong(0), r.getLong(1)))
+    }
+
+    var (cur, sig) = materialize(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .distinct())
     var prevSig = (-1L, 0L)
     var rounds = 0
-    var sig = signature(cur)
     while (sig != prevSig && rounds < maxRounds) {
       prevSig = sig
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
-      sig = signature(cur)
+      val t0 = System.nanoTime()
+      val (next, nextSig) = materialize(smallStar(largeStar(cur)))
+      cur = next
+      sig = nextSig
       rounds += 1
+      if (verbose) println(
+        f"CC round $rounds%2d: edges=${sig._1}%10d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     // fixpoint: every edge is (node -> component root)
     val members = cur.select(col("src").as("node"), col("dst").as("component"))

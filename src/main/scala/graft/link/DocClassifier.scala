@@ -55,7 +55,9 @@ object DocClassifier {
       case other => throw new IllegalArgumentException(s"unknown similarity: $other")
     }
 
-  /** Score every tag of one document; returns (tagIndex -> score). */
+  /** Score every tag of one document; returns (tagIndex -> score).
+    * Allocation-free inner loops (primitive arrays, no boxing): this is
+    * the engine's hottest code path and runs once per (doc, tag-pair). */
   def scoreDoc(tags: Array[TagRow], params: Scoring.Params,
       model: Scoring.SvmModel): Array[Double] = {
     val n = tags.length
@@ -63,14 +65,17 @@ object DocClassifier {
     val edgeSets = tags.map(_.edges.iterator.map(_.toLong).toSet)
     val d = params.maxSimilarityDistance
 
-    // similarity lists per tag (compute_similarities): src tag i -> list of
-    // (dst tag j, weight); self entry first with the smoothing seed
-    val adjSrc = new Array[Array[(Int, Double)]](n)
+    // similarity lists per tag (compute_similarities): src tag i -> parallel
+    // (dst index, weight) arrays; self entry first with the smoothing seed
+    val adjIdx = new Array[Array[Int]](n)
+    val adjW = new Array[Array[Double]](n)
+    val tmpIdx = new Array[Int](n + 1)
+    val tmpW = new Array[Double](n + 1)
     var i = 0
     while (i < n) {
       val ti = tags(i)
-      val buf = Array.newBuilder[(Int, Double)]
-      buf += ((i, params.similaritySmoothing))
+      var m = 0
+      tmpIdx(m) = i; tmpW(m) = params.similaritySmoothing; m += 1
       var j = 0
       while (j < n) {
         val tj = tags(j)
@@ -79,51 +84,73 @@ object DocClassifier {
           val s = (params.similaritySmoothing +
             sim(ti.qid_num, edgeSets(i), tj.qid_num, edgeSets(j))) *
             (d - distance).toDouble / d
-          if (s > 0.0) buf += ((j, s))
+          if (s > 0.0) { tmpIdx(m) = j; tmpW(m) = s; m += 1 }
         }
         j += 1
       }
-      val entries = buf.result()
-      val total = entries.iterator.map(_._2).sum
-      adjSrc(i) = entries.map { case (k, v) => (k, v / total) }
+      var total = 0.0
+      var k = 0
+      while (k < m) { total += tmpW(k); k += 1 }
+      val outI = new Array[Int](m)
+      val outW = new Array[Double](m)
+      k = 0
+      while (k < m) { outI(k) = tmpIdx(k); outW(k) = tmpW(k) / total; k += 1 }
+      adjIdx(i) = outI
+      adjW(i) = outW
       i += 1
     }
 
-    // propagation: F'[dst] += w(src->dst) * F[src]
-    var feats = tags.map(t => Array(t.log_likelihood, t.rank,
-      t.nb_statements.toDouble, t.nb_sitelinks.toDouble, 1.0))
-    val stacked = tags.map(_ => Array.newBuilder[Double])
+    // propagation: F'[dst] += w(src->dst) * F[src]; features flat in one
+    // (nbSteps+1)*5-wide row-major buffer per tag
+    val dim = 5 * (params.nbSteps + 1)
+    val stacked = new Array[Double](n * dim)
     i = 0
-    while (i < n) { stacked(i) ++= feats(i); i += 1 }
+    while (i < n) {
+      val t = tags(i)
+      val o = i * dim
+      stacked(o) = t.log_likelihood
+      stacked(o + 1) = t.rank
+      stacked(o + 2) = t.nb_statements.toDouble
+      stacked(o + 3) = t.nb_sitelinks.toDouble
+      stacked(o + 4) = 1.0
+      i += 1
+    }
     var step = 0
     while (step < params.nbSteps) {
-      val next = Array.fill(n)(new Array[Double](5))
+      val pOff = step * 5
+      val cOff = pOff + 5
       var src = 0
       while (src < n) {
-        val f = feats(src)
-        adjSrc(src).foreach { case (dst, w) =>
-          val acc = next(dst)
+        val srcBase = src * dim + pOff
+        val idx = adjIdx(src)
+        val w = adjW(src)
+        var e = 0
+        while (e < idx.length) {
+          val dstBase = idx(e) * dim + cOff
+          val weight = w(e)
           var k = 0
-          while (k < 5) { acc(k) += w * f(k); k += 1 }
+          while (k < 5) { stacked(dstBase + k) += weight * stacked(srcBase + k); k += 1 }
+          e += 1
         }
         src += 1
       }
-      feats = next
-      i = 0
-      while (i < n) { stacked(i) ++= feats(i); i += 1 }
       step += 1
     }
 
-    stacked.map { b =>
-      val x = b.result()
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val o = i * dim
       var s = model.intercept
       var k = 0
-      while (k < x.length) {
-        s += model.weights(k) * ((x(k) - model.mean(k)) / model.scale(k))
+      while (k < dim) {
+        s += model.weights(k) * ((stacked(o + k) - model.mean(k)) / model.scale(k))
         k += 1
       }
-      s
+      out(i) = s
+      i += 1
     }
+    out
   }
 
   /** Fused best-link stage: one doc-keyed shuffle, in-memory classifier. */

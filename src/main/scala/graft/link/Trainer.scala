@@ -75,6 +75,36 @@ object Trainer {
       intercept = svc.intercept)
   }
 
+  /** crossfit_model (classifier.py:94-158): tag once, then for each
+    * parameter setting run k-fold CV (folds = doc_id % k, the reference's
+    * round-robin chunking) and keep the setting with the best mean F1;
+    * finally retrain on all data with the winner. The expensive candidate
+    * table is computed once and persisted across the whole grid (the
+    * reference's docid_to_mentions cache). */
+  def crossfit(tags0: DataFrame, gold: DataFrame,
+      grid: Seq[Scoring.Params], k: Int = 5,
+      c: Double = 0.01, maxIter: Int = 50): (Scoring.Params, Double, Scoring.SvmModel) = {
+    val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var best: (Scoring.Params, Double) = (grid.head, -1.0)
+    for (params <- grid) {
+      var f1Sum = 0.0
+      for (fold <- 0 until k) {
+        val trainTags = tags.filter(col("doc_id") % k =!= fold)
+        val testTags = tags.filter(col("doc_id") % k === fold)
+        val trainGold = gold.filter(col("doc_id") % k =!= fold)
+        val testGold = gold.filter(col("doc_id") % k === fold)
+        val m = train(trainTags, trainGold, params, c, maxIter)
+        val (_, _, f1) = evaluate(
+          DocClassifier.bestLinks(testTags, params, m), testGold)
+        f1Sum += f1
+      }
+      val mean = f1Sum / k
+      if (mean > best._2) best = (params, mean)
+    }
+    val model = train(tags, gold, best._1, c, maxIter)
+    (best._1, best._2, model)
+  }
+
   /** evaluate_model (classifier.py:221-260): precision over predictions,
     * recall over gold judgments, on the best-link output. */
   def evaluate(best: DataFrame, gold: DataFrame): (Double, Double, Double) = {
