@@ -10,6 +10,14 @@ import scala.sys.process._
   * (graft.BenchChild) because sequential Spark sessions in one JVM degrade
   * (observed 15x slowdown on the second session in this sandbox).
   *
+  * Round-1 lessons baked in (VERDICT.md "What's wrong #3"):
+  *   - ALL children get the SAME fixed large heap (SPARK_BENCH_CHILD_MEM,
+  *     default 48g) instead of inheriting the sbt driver's -Xmx8g — an
+  *     8g heap at 32 cores measured GC, not the engine;
+  *   - >= 3 timed trials per configuration inside one warmed session;
+  *     the reported number is the MEDIAN, and the raw trials + GC seconds
+  *     are published in the JSON so noise is visible, not hidden.
+  *
   * Measurements:
   *  1. throughput scaling (BASELINE.json north_rule: "N and 4N"):
   *     the fused page pipeline end-to-end on the same replicated corpus at
@@ -26,11 +34,12 @@ object Bench {
 
   private def childCmd(mode: String, cores: Int): Seq[String] = {
     val java = System.getProperty("java.home") + "/bin/java"
-    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
-      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
-        a.startsWith("-D"))
+    val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-D"))
       .toSeq
-    Seq(java) ++ jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"),
+    val heap = sys.env.getOrElse("SPARK_BENCH_CHILD_MEM", "48g")
+    Seq(java) ++ inherited ++ Seq(s"-Xmx$heap",
+      "-cp", System.getProperty("java.class.path"),
       "graft.BenchChild", mode, cores.toString)
   }
 
@@ -42,27 +51,56 @@ object Bench {
     out.toString.linesIterator.toSeq
   }
 
-  private def scaleRun(cores: Int): (Long, Double) = {
-    val line = runChild("scale", cores).find(_.startsWith("SCALE "))
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  final case class ScaleResult(pages: Long, trials: Seq[Double], gcSecs: Seq[Double]) {
+    def secs: Double = median(trials)
+    def gc: Double = median(gcSecs)
+  }
+
+  private def scaleRun(cores: Int): ScaleResult = {
+    val lines = runChild("scale", cores)
+    val pages = lines.find(_.startsWith("SCALE "))
+      .map(_.split(" ")(2).toLong)
       .getOrElse(sys.error(s"no SCALE line from child $cores"))
-    val parts = line.split(" ")
-    (parts(2).toLong, parts(3).toDouble)
+    val trials = lines.filter(_.startsWith("TRIAL ")).map(_.split(" "))
+    require(trials.nonEmpty, s"no TRIAL lines from child $cores")
+    ScaleResult(pages, trials.map(_(2).toDouble), trials.map(_(3).toDouble))
+  }
+
+  /** Stale per-app scratch dirs from killed runs accumulate in the tmpfs
+    * local dir (575 MB after round 1) — clear it before measuring. */
+  private def cleanLocalDir(): Unit = {
+    val dir = new java.io.File(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(rm)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
     val full = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    cleanLocalDir()
 
-    val (pages, secs4) = scaleRun(4)
-    val (_, secs16) = scaleRun(16)
-    val (_, secs8) = scaleRun(8)
-    val (_, secs32) = scaleRun(full)
+    val r4 = scaleRun(4)
+    val r16 = scaleRun(16)
+    val r8 = scaleRun(8)
+    val r32 = scaleRun(full)
+    val pages = r4.pages
 
-    val qps4 = pages / secs4
-    val qps16 = pages / secs16
-    val qps8 = pages / secs8
-    val qps32 = pages / secs32
+    val qps4 = pages / r4.secs
+    val qps16 = pages / r16.secs
+    val qps8 = pages / r8.secs
+    val qps32 = pages / r32.secs
     val eff416 = (qps16 / qps4) / 4.0
     val eff832 = (qps32 / qps8) / (full / 8.0)
 
@@ -73,7 +111,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
 
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val trialsJson = Seq(4 -> r4, 16 -> r16, 8 -> r8, full -> r32)
+      .map { case (c, r) =>
+        s""""pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)}"""
+      }.mkString(",")
+
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_pages":$pages%d,"replicate":$replicate%d,"pipeline_secs_4":$secs4%.3f,"pipeline_secs_16":$secs16%.3f,"pipeline_secs_8":$secs8%.3f,"pipeline_secs_32":$secs32%.3f,"pages_per_sec_4":$qps4%.1f,"pages_per_sec_16":$qps16%.1f,"pages_per_sec_8":$qps8%.1f,"pages_per_sec_32":$qps32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_pages":$pages%d,"replicate":$replicate%d,"pipeline_secs_4":${r4.secs}%.3f,"pipeline_secs_16":${r16.secs}%.3f,"pipeline_secs_8":${r8.secs}%.3f,"pipeline_secs_32":${r32.secs}%.3f,"pages_per_sec_4":$qps4%.1f,"pages_per_sec_16":$qps16%.1f,"pages_per_sec_8":$qps8%.1f,"pages_per_sec_32":$qps32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,$trialsJson%s}""")
   }
 }

@@ -57,12 +57,26 @@ object BenchChild {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
         runPipeline(docs.sample(0.05, 42), a) // warmup: codegen + broadcasts
-        val t0 = System.nanoTime()
-        runPipeline(docs, a)
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE $cores%d $nPages%d $secs%.3f")
+        def gcSecs: Double = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(_.getCollectionTime).sum / 1e3
+        }
+        val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
+        println(s"SCALE $cores $nPages")
+        for (t <- 1 to trials) {
+          val gc0 = gcSecs
+          val t0 = System.nanoTime()
+          runPipeline(docs, a)
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $t%d")
+        }
       case "queries" =>
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val only = args.drop(2).toSet // optional name filter for profiling
+        Pipeline.artifacts(spark) // offline stage (dict/BOW/PageRank), untimed
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (n, _) => only.isEmpty || only(n) }
+          .foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

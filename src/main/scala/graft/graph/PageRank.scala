@@ -77,6 +77,10 @@ object PageRank {
         .repartition(parts, col("qid"))
         .localCheckpoint(false)
       val l1 = newRanks.agg(sum(col("rank"))).head().getDouble(0)
+      // free the previous round's checkpoint blocks (the final round's stay:
+      // they back the returned ranks frame)
+      if (prev != null)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
       prev = newRanks
       val comp = (1.0 - l1) / n
       ranks = newRanks.withColumn("rank", col("rank") + lit(comp))

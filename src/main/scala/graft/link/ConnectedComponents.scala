@@ -21,7 +21,9 @@ object ConnectedComponents {
     val bi = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
     val mins = bi.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-    bi.join(mins, "u")
+    // pin shuffle-hash: per-round AQE broadcast decisions on the shrinking
+    // working set are unstable (an occasional 20-40s round from a bad pick)
+    bi.join(mins.hint("shuffle_hash"), "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
   }
@@ -35,7 +37,7 @@ object ConnectedComponents {
       least(col("src"), col("dst")).as("v"))
       .distinct()
     val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    val nbr = oriented.join(mins, "u")
+    val nbr = oriented.join(mins.hint("shuffle_hash"), "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
     val self = mins.select(col("u").as("src"), col("m").as("dst"))
@@ -45,14 +47,13 @@ object ConnectedComponents {
   /** Runs to fixpoint; returns (node, component). */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
       verbose: Boolean = false): DataFrame = {
-    val eCount0 = edges.count()
-    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism * 2,
-      (eCount0 / 100000L).toInt + 1))
-
     def materialize(df: DataFrame): (DataFrame, (Long, Long)) = {
       // lazy localCheckpoint: truncates lineage across rounds (plan blowup
-      // otherwise); the signature aggregation is the one materializing job
-      val p = df.repartition(parts, col("src")).localCheckpoint(false)
+      // otherwise); the signature aggregation is the one materializing job.
+      // No explicit repartition: the round body ends in a distinct(), which
+      // already hash-partitions at AQE-coalesced width — an extra exchange
+      // per round bought nothing.
+      val p = df.localCheckpoint(false)
       val r = p.agg(count(lit(1)),
         coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))).head()
       (p, (r.getLong(0), r.getLong(1)))
@@ -67,13 +68,19 @@ object ConnectedComponents {
     while (sig != prevSig && rounds < maxRounds) {
       prevSig = sig
       val t0 = System.nanoTime()
+      val prev = cur
       val (next, nextSig) = materialize(smallStar(largeStar(cur)))
+      // free the previous round's checkpoint blocks: leaving them cached
+      // fills the block manager and degrades mid-run rounds 10-20x
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
       cur = next
       sig = nextSig
       rounds += 1
       if (verbose) println(
         f"CC round $rounds%2d: edges=${sig._1}%10d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    require(sig == prevSig,
+      s"connected components did not converge in $maxRounds rounds")
     // fixpoint: every edge is (node -> component root)
     val members = cur.select(col("src").as("node"), col("dst").as("component"))
     val roots = cur.select(col("dst").as("node"), col("dst").as("component")).distinct()

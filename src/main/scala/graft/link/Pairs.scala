@@ -1,6 +1,6 @@
 package graft.link
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.JaroWinkler.jaroWinkler
@@ -13,10 +13,17 @@ import graft.functions.JaroWinkler.jaroWinkler
   * Scale design: a naive within-block self-join is quadratic in the hot
   * (Zipfian) keys — "scan" alone would produce 10^10 pairs at web scale. We
   * use sorted-neighborhood pairing inside each block: mentions are ordered
-  * deterministically within their block (doc_id, start) and each mention is
-  * paired with its next `windowSize` neighbors — linear in block size,
-  * shuffle-partitioned by block key, hot keys split by AQE. The F1 gate is
-  * evaluated on exactly these deterministic labeled pairs.
+  * deterministically within their block (mention_id ~ doc_id, start) and
+  * each mention is paired with its next `windowSize` neighbors — linear in
+  * block size.
+  *
+  * Distribution: a plain `lead() over (partition by block_key)` puts the
+  * hottest Zipfian block on ONE task (AQE skew splitting applies to joins,
+  * not window partitions) — the round-1 scale killer. Instead we compute a
+  * globally-dense per-block sequence number with `blockSeq` (range
+  * partitioning + bounded local windows + tiny boundary prefix sums) and
+  * form pairs as an equi-join on (block_key, seq + k), whose join keys are
+  * unique — perfectly spreadable, no skew at any scale.
   */
 object Pairs {
 
@@ -24,20 +31,82 @@ object Pairs {
 
   /** Stable numeric mention id: doc_id * 10^8 + start * 10^4 + end offset
     * (spans are < 10^4 by the tagger text cap). */
-  def mentionIdCol: org.apache.spark.sql.Column =
+  def mentionIdCol: Column =
     (col("doc_id").cast("long") * lit(100000000L)) +
       (col("start").cast("long") * lit(10000L)) + col("end").cast("long")
+
+  /** Globally-dense 1-based sequence number per block — semantically
+    * `row_number() over (partition by block_key order by mention_id)` —
+    * without ever materializing a block on a single task:
+    *
+    *   1. `repartitionByRange(block_key, mention_id)`: balanced partitions;
+    *      each block occupies a CONTIGUOUS run of partitions;
+    *   2. `row_number()` within (partition, block): every window partition
+    *      is bounded by the range-partition size, never by block size;
+    *   3. prefix-sum the per-(partition, block) counts per block: only
+    *      blocks that span a partition boundary get a nonzero offset, and
+    *      by contiguity there are at most `numPartitions` such rows —
+    *      broadcast them back.
+    *
+    * The input must have a unique `mention_id` within each block (ids are
+    * globally unique here). Eagerly localCheckpoints the range-partitioned
+    * frame: the sampled range boundaries must be pinned so the counts job
+    * and the ranking job see one consistent partition assignment.
+    */
+  private[graft] def blockSeq(m: DataFrame, numParts: Int): DataFrame = {
+    val part = m
+      .repartitionByRange(numParts, col("block_key"), col("mention_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val cnts = part.groupBy("pid", "block_key").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy("block_key").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("off", sum(col("cnt")).over(wOff))
+      .filter(col("off").isNotNull && col("off") > lit(0L))
+      .select(col("pid"), col("block_key"), col("off"))
+    val wLocal = Window.partitionBy("pid", "block_key").orderBy("mention_id")
+    part
+      .withColumn("rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offs), Seq("pid", "block_key"), "left")
+      .withColumn("seq", coalesce(col("off"), lit(0L)) + col("rn"))
+      .drop("pid", "rn", "off")
+  }
 
   /** Sorted-neighborhood candidate pairs within each blocking key.
     * Input: linked mentions (doc_id, start, end, surface, norm_key,
     * best_qid). Output: one row per pair with surface similarities and the
     * same_entity decision (= linked entity agreement). */
   def candidatePairs(mentions: DataFrame, windowSize: Int = WindowSize): DataFrame = {
+    val spark = mentions.sparkSession
     val m = mentions
       .withColumn("mention_id", mentionIdCol)
       // blocking key = first token of the normalized surface: coarse enough
       // that one block mixes different entities ("merge" / "merge join" /
       // "sort merge join" variants), the realistic record-linkage setup
+      .withColumn("block_key", split(col("norm_key"), " ").getItem(0))
+      .select("block_key", "mention_id", "surface", "best_qid")
+    val ranked = blockSeq(m, spark.sparkContext.defaultParallelism * 2)
+    val left = ranked.select(
+      col("block_key"), col("seq"),
+      col("mention_id").as("id1"), col("surface").as("surface1"),
+      col("best_qid").as("qid1"))
+      .withColumn("k", explode(array((1 to windowSize).map(k => lit(k.toLong)): _*)))
+      .withColumn("seq2", col("seq") + col("k"))
+    val right = ranked.select(
+      col("block_key"), col("seq").as("seq2"),
+      col("mention_id").as("id2"), col("surface").as("surface2"),
+      col("best_qid").as("qid2"))
+    scorePairs(left.join(right, Seq("block_key", "seq2")))
+  }
+
+  /** Reference implementation of the same pairing via a per-block global
+    * window — the semantic oracle for `candidatePairs` (PairsCcSpec pins
+    * them equal). NOT scalable: the hottest block lands on one task. */
+  private[graft] def candidatePairsViaWindow(
+      mentions: DataFrame, windowSize: Int = WindowSize): DataFrame = {
+    val m = mentions
+      .withColumn("mention_id", mentionIdCol)
       .withColumn("block_key", split(col("norm_key"), " ").getItem(0))
     val w = Window.partitionBy(col("block_key")).orderBy(col("mention_id"))
     val withNext = (1 to windowSize).foldLeft(m) { (df, k) =>
@@ -49,7 +118,7 @@ object Pairs {
       struct(col(s"next_id_$k").as("id2"), col(s"next_surface_$k").as("surface2"),
         col(s"next_qid_$k").as("qid2"))
     }
-    withNext
+    scorePairs(withNext
       .select(col("block_key"), col("mention_id").as("id1"),
         col("surface").as("surface1"), col("best_qid").as("qid1"),
         explode(array(pairCols: _*)).as("p"))
@@ -57,12 +126,18 @@ object Pairs {
       .select(
         col("block_key"), col("id1"), col("p.id2").as("id2"),
         col("surface1"), col("p.surface2").as("surface2"),
-        col("qid1"), col("p.qid2").as("qid2"))
+        col("qid1"), col("p.qid2").as("qid2")))
+  }
+
+  /** Surface-similarity + linkage-agreement scoring of raw id pairs. */
+  private def scorePairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("block_key"), col("id1"), col("id2"),
+        col("surface1"), col("surface2"), col("qid1"), col("qid2"))
       .withColumn("lev", levenshtein(col("surface1"), col("surface2")))
       .withColumn("jw", round(jaroWinkler(col("surface1"), col("surface2")), 6))
       .withColumn("same_entity",
         col("qid1").isNotNull && col("qid2").isNotNull && col("qid1") === col("qid2"))
-  }
 
   /** same-entity edges for transitive clustering. */
   def sameEntityEdges(pairs: DataFrame): DataFrame =

@@ -45,6 +45,36 @@ class PairsCcSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("blockSeq == row_number over (block order by id), even with skew") {
+    // one hot block (700 rows), several cold ones, ids deliberately shuffled
+    val rows = scala.util.Random.shuffle(
+      (1 to 700).map(i => ("hot", i.toLong * 7)) ++
+        (1 to 13).map(i => ("cold", i.toLong * 3)) ++
+        Seq(("x", 5L), ("y", 11L)))
+    val m = rows.toDF("block_key", "mention_id")
+      .withColumn("surface", col("block_key"))
+      .withColumn("best_qid", lit("Q1"))
+    val got = graft.link.Pairs.blockSeq(m, 8)
+      .select("block_key", "mention_id", "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (b, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (id, i) => (b, id) -> (i + 1L) }
+    }
+    assert(got == want)
+  }
+
+  test("distributed candidatePairs == window-oracle candidatePairs") {
+    val best = Pipeline.annotate(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("block_key", "id1", "id2", "surface1", "surface2", "qid1",
+        "qid2", "lev", "jw", "same_entity")
+        .collect().map(_.toSeq).toSet
+    val dist = key(Pairs.candidatePairs(best))
+    val win = key(Pairs.candidatePairsViaWindow(best))
+    assert(dist.nonEmpty)
+    assert(dist == win)
+  }
+
   test("GATE: pairwise F1 >= 0.99 vs gold mention-pair labels at the blocking key") {
     val pairs = Pipeline.pairs(spark, "/root/testdata/sf0.001").cache()
     assert(pairs.count() > 100)
