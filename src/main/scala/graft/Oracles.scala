@@ -174,6 +174,130 @@ object Oracles {
        |  FROM cand)
        |WHERE tag_order = 1""".stripMargin
 
+  // ---- best link under the frozen NON-TRIVIAL context model ---------------
+  // Re-derives the whole classifier (classifier.py:262-375) in SQL:
+  // per-qid features, BOW phrase log-likelihood, similarity edges with
+  // distance decay + smoothing + per-source normalization, TWO unrolled
+  // propagation steps, the standardized linear decision function, and the
+  // per-mention argmax with score > 0.
+
+  /** per-qid static features incl. the outgoing-edge list. */
+  def featValues: String =
+    DictSpec.expectedDict.sortBy(_.id).map { r =>
+      val edges = r.edges.mkString("[", ",", "]")
+      s"(${q(r.id)}, ${r.id.drop(1).toLong}, ${r.nbStatements}, " +
+        s"${r.nbSitelinks}, $edges::BIGINT[])"
+    }.mkString(", ")
+
+  val elAnnotateCtxSql: String = {
+    val model = graft.link.Scoring.ctxModel(2)
+    val cols = for (s <- 0 to 2; i <- 0 to 4) yield s"s${s}_$i"
+    val scoreExpr = cols.zipWithIndex.map { case (c, k) =>
+      s"${model.weights(k)} * (($c - ${model.mean(k)}) / ${model.scale(k)})"
+    }.mkString("", "\n         + ", s"\n         + ${model.intercept}")
+    s"""WITH $mentionsCtes,
+       |$pagerankCtes,
+       |feat(qid, qid_num, nb_statements, nb_sitelinks, edges) AS (VALUES $featValues),
+       |cand0 AS MATERIALIZED (
+       |  SELECT m.doc_id, m.m_start, m.m_end, m.surface, d.qid,
+       |         23.0 + ln(p.r) AS rank,
+       |         row_number() OVER (PARTITION BY m.doc_id, m.m_start, m.m_end
+       |                            ORDER BY 23.0 + ln(p.r) DESC, d.qid) AS tag_order
+       |  FROM mentions m
+       |  JOIN dict d ON d.norm_key = m.surface
+       |  JOIN pr p ON p.id = CAST(substr(d.qid, 2) AS INTEGER)
+       |),
+       |bowterms(item, term) AS (VALUES $bowTermValues),
+       |bowwords AS MATERIALIZED (
+       |  SELECT DISTINCT item, unnest(string_split(term, ' ')) AS word FROM bowterms),
+       |bowall AS MATERIALIZED (SELECT word, count(*) AS cnt FROM bowwords GROUP BY word),
+       |bowsaved AS MATERIALIZED (SELECT word, cnt FROM bowall WHERE cnt >= 2),
+       |bowq AS MATERIALIZED (
+       |  SELECT ln(1.0 * (1 + (SELECT count(*) FROM bowsaved)) + (SELECT sum(cnt) FROM bowall)) AS lnq),
+       |surfll AS MATERIALIZED (
+       |  SELECT surface,
+       |         -(SELECT sum(ln(1.0 + coalesce((SELECT cnt FROM bowsaved b WHERE b.word = t.w), 0))
+       |                      - (SELECT lnq FROM bowq))
+       |           FROM unnest(string_split(surface, ' ')) t(w)) AS ll
+       |  FROM (SELECT DISTINCT surface FROM mentions)
+       |),
+       |ctag AS MATERIALIZED (
+       |  SELECT c.doc_id, c.m_start, c.m_end, c.surface, c.qid, c.rank, c.tag_order,
+       |         f.qid_num, f.nb_statements, f.nb_sitelinks, f.edges, l.ll
+       |  FROM cand0 c
+       |  JOIN feat f ON f.qid = c.qid
+       |  JOIN surfll l ON l.surface = c.surface
+       |  WHERE c.tag_order <= 10
+       |),
+       |crosse AS MATERIALIZED (
+       |  SELECT a.doc_id, a.m_start AS ss, a.m_end AS se, a.qid AS sq,
+       |         b.m_start AS ds, b.m_end AS de, b.qid AS dq,
+       |         (0.1 + (CASE WHEN a.qid_num = b.qid_num OR list_contains(a.edges, b.qid_num)
+       |                 THEN 1.0 ELSE 0.0 END)
+       |              + (CASE WHEN b.qid_num = a.qid_num OR list_contains(b.edges, a.qid_num)
+       |                 THEN 1.0 ELSE 0.0 END))
+       |           * (100.0 - greatest(a.m_start - b.m_end, b.m_start - a.m_end)) / 100.0 AS raw
+       |  FROM ctag a JOIN ctag b
+       |    ON a.doc_id = b.doc_id
+       |   AND NOT (a.m_start = b.m_start AND a.m_end = b.m_end)
+       |   AND greatest(a.m_start - b.m_end, b.m_start - a.m_end) <= 100
+       |),
+       |alledge AS MATERIALIZED (
+       |  SELECT * FROM crosse WHERE raw > 0
+       |  UNION ALL
+       |  SELECT doc_id, m_start, m_end, qid, m_start, m_end, qid, 0.1 FROM ctag
+       |),
+       |wedge AS MATERIALIZED (
+       |  SELECT doc_id, ss, se, sq, ds, de, dq,
+       |         raw / sum(raw) OVER (PARTITION BY doc_id, ss, se, sq) AS w
+       |  FROM alledge
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id, m_start, m_end, qid,
+       |         ll AS s0_0, rank AS s0_1, CAST(nb_statements AS DOUBLE) AS s0_2,
+       |         CAST(nb_sitelinks AS DOUBLE) AS s0_3, 1.0 AS s0_4
+       |  FROM ctag),
+       |p1 AS MATERIALIZED (
+       |  SELECT e.doc_id, e.ds AS m_start, e.de AS m_end, e.dq AS qid,
+       |         sum(e.w * s.s0_0) AS v0, sum(e.w * s.s0_1) AS v1, sum(e.w * s.s0_2) AS v2,
+       |         sum(e.w * s.s0_3) AS v3, sum(e.w * s.s0_4) AS v4
+       |  FROM wedge e JOIN s0 s
+       |    ON s.doc_id = e.doc_id AND s.m_start = e.ss AND s.m_end = e.se AND s.qid = e.sq
+       |  GROUP BY 1, 2, 3, 4),
+       |s1 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.m_start, t.m_end, t.qid,
+       |         coalesce(p.v0, 0.0) AS s1_0, coalesce(p.v1, 0.0) AS s1_1,
+       |         coalesce(p.v2, 0.0) AS s1_2, coalesce(p.v3, 0.0) AS s1_3,
+       |         coalesce(p.v4, 0.0) AS s1_4
+       |  FROM s0 t LEFT JOIN p1 p USING (doc_id, m_start, m_end, qid)),
+       |p2 AS MATERIALIZED (
+       |  SELECT e.doc_id, e.ds AS m_start, e.de AS m_end, e.dq AS qid,
+       |         sum(e.w * s.s1_0) AS v0, sum(e.w * s.s1_1) AS v1, sum(e.w * s.s1_2) AS v2,
+       |         sum(e.w * s.s1_3) AS v3, sum(e.w * s.s1_4) AS v4
+       |  FROM wedge e JOIN s1 s
+       |    ON s.doc_id = e.doc_id AND s.m_start = e.ss AND s.m_end = e.se AND s.qid = e.sq
+       |  GROUP BY 1, 2, 3, 4),
+       |s2 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.m_start, t.m_end, t.qid,
+       |         coalesce(p.v0, 0.0) AS s2_0, coalesce(p.v1, 0.0) AS s2_1,
+       |         coalesce(p.v2, 0.0) AS s2_2, coalesce(p.v3, 0.0) AS s2_3,
+       |         coalesce(p.v4, 0.0) AS s2_4
+       |  FROM s1 t LEFT JOIN p2 p USING (doc_id, m_start, m_end, qid)),
+       |scored AS MATERIALIZED (
+       |  SELECT c.doc_id, c.m_start, c.m_end, c.surface, c.qid, c.tag_order, c.ll,
+       |         $scoreExpr AS score
+       |  FROM ctag c
+       |  JOIN s0 USING (doc_id, m_start, m_end, qid)
+       |  JOIN s1 USING (doc_id, m_start, m_end, qid)
+       |  JOIN s2 USING (doc_id, m_start, m_end, qid))
+       |SELECT doc_id, m_start, m_end, surface, qid AS best_qid,
+       |       round(score, 6) AS score, round(ll, 6) AS log_likelihood
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, m_start, m_end
+       |                                   ORDER BY score DESC, tag_order) AS rn
+       |      FROM scored)
+       |WHERE rn = 1 AND score > 0""".stripMargin
+  }
+
   // ---- pairs: sorted-neighborhood within blocking key ----------------------
 
   val elPairsSql: String =

@@ -90,6 +90,17 @@ object Pipeline {
         Scoring.defaultModel(params.nbSteps))
     }
 
+  /** best entity link per mention under the frozen NON-TRIVIAL context
+    * model (Scoring.ctxModel): similarity graph, decay, normalization,
+    * 2-step propagation and the SVM arithmetic all affect the output —
+    * the driver's el_annotate_ctx oracle unrolls the same math in SQL. */
+  def annotateCtx(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "annotate_ctx") {
+      graft.link.FusedAnnotate.annotate(
+        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        Scoring.ctxModel())
+    }
+
   /** blocked candidate pairs with surface similarity + linkage decision. */
   def pairs(spark: SparkSession, sfDir: String): DataFrame =
     Pairs.candidatePairs(annotate(spark, sfDir))

@@ -97,6 +97,13 @@ object SparkEntry {
       Pipeline.annotate(s, dir)
         .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
           col("surface"), col("best_qid"))),
+    "el_annotate_ctx" -> ((s, dir) =>
+      // frozen NON-TRIVIAL model: similarity graph + 2-step propagation +
+      // SVM arithmetic + BOW log-likelihood all drive the checked output
+      Pipeline.annotateCtx(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"), col("best_qid"), round(col("score"), 6).as("score"),
+          round(col("log_likelihood"), 6).as("log_likelihood"))),
     "el_pairs" -> ((s, dir) =>
       Pipeline.pairs(s, dir)
         .select(col("block_key"), col("id1"), col("id2"), col("lev"), col("jw"),
@@ -204,6 +211,7 @@ object SparkEntry {
     "el_mentions" -> Oracles.elMentionsSql,
     "el_candidates" -> Oracles.elCandidatesSql,
     "el_annotate" -> Oracles.elAnnotateSql,
+    "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
     "el_pairs" -> Oracles.elPairsSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
     "dd_exact" -> Oracles.ddExactSql,

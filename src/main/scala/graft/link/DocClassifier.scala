@@ -26,7 +26,7 @@ object DocClassifier {
 
   final case class BestLink(
       doc_id: Long, start: Int, end: Int, surface: String, norm_key: String,
-      best_qid: String, best_label: String, score: Double)
+      log_likelihood: Double, best_qid: String, best_label: String, score: Double)
 
   private def simFn(params: Scoring.Params): (Long, Set[Long], Long, Set[Long]) => Double =
     params.similarity match {
@@ -181,7 +181,7 @@ object DocClassifier {
           best.map { i =>
             val t = docTags(i)
             BestLink(t.doc_id, t.start, t.end, t.surface, t.norm_key,
-              t.qid, t.label, scores(i))
+              t.log_likelihood, t.qid, t.label, scores(i))
           }
         }
     }.toDF()

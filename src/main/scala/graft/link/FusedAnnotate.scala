@@ -112,7 +112,7 @@ object FusedAnnotate {
               .map { i =>
                 val t = sorted(i)
                 DocClassifier.BestLink(t.doc_id, t.start, t.end, t.surface,
-                  t.norm_key, t.qid, t.label, scores(i))
+                  t.norm_key, t.log_likelihood, t.qid, t.label, scores(i))
               }
           }
       }

@@ -47,6 +47,21 @@ object Scoring {
     SvmModel(w, Array.fill(dim)(0.0), Array.fill(dim)(1.0), 0.0)
   }
 
+  /** Frozen NON-TRIVIAL model: every feature (ll, rank, counts, bias) at
+    * every propagation step carries nonzero weight, so the similarity
+    * graph, distance decay, normalization and propagation all influence
+    * the served score. Used by the driver-checked `el_annotate_ctx` query
+    * (the DuckDB oracle unrolls the same propagation in SQL) and by
+    * ScoringSpec's differential tests. */
+  def ctxModel(nbSteps: Int = 2): SvmModel = {
+    val dim = 5 * (nbSteps + 1)
+    SvmModel(
+      Array.tabulate(dim)(k => 0.05 * (k % 5) + 0.01 * k + 0.1),
+      Array.tabulate(dim)(k => 0.2 * k),
+      Array.tabulate(dim)(k => 1.0 + 0.1 * k),
+      -0.3)
+  }
+
   /** tag key column: identifies a (mention-span, qid) pair within a doc. */
   private def tagKeyCols(prefix: String): Seq[Column] =
     Seq(col(s"${prefix}start"), col(s"${prefix}end"), col(s"${prefix}qid"))
@@ -202,7 +217,8 @@ object Scoring {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feats = propagateFeatures(tags, edges, params)
     val scored = tags
-      .select("doc_id", "start", "end", "surface", "norm_key", "qid", "label", "tag_order")
+      .select("doc_id", "start", "end", "surface", "norm_key", "log_likelihood",
+        "qid", "label", "tag_order")
       .join(feats.withColumn("score", svmScore(model, params.nbSteps))
         .select("doc_id", "start", "end", "qid", "score"),
         Seq("doc_id", "start", "end", "qid"))
@@ -212,6 +228,7 @@ object Scoring {
       .withColumn("rn", row_number().over(wMention))
       .filter(col("rn") === lit(1) && col("score") > lit(0.0))
       .select(col("doc_id"), col("start"), col("end"), col("surface"), col("norm_key"),
+        col("log_likelihood"),
         col("qid").as("best_qid"), col("label").as("best_label"), col("score"))
   }
 }

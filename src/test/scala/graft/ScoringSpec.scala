@@ -16,13 +16,8 @@ class ScoringSpec extends AnyFunSuite {
   val params = Scoring.Params(nbSteps = 2, maxSimilarityDistance = 100,
     similaritySmoothing = 0.1)
 
-  val model: Scoring.SvmModel = {
-    val dim = 15
-    val w = Array.tabulate(dim)(k => 0.05 * (k % 5) + 0.01 * k + 0.1)
-    val mean = Array.tabulate(dim)(k => 0.2 * k)
-    val scale = Array.tabulate(dim)(k => 1.0 + 0.1 * k)
-    Scoring.SvmModel(w, mean, scale, -0.3)
-  }
+  // the frozen non-trivial model served by el_annotate_ctx
+  val model: Scoring.SvmModel = Scoring.ctxModel(2)
 
   // ---- plain-Scala reference (mirrors classifier.py semantics) ------------
   case class PTag(qid: String, qidNum: Long, edges: Set[Long], ll: Double,
