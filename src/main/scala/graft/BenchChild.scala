@@ -38,9 +38,36 @@ object BenchChild {
 
   def runPipeline(docs: DataFrame, a: Pipeline.Artifacts): Long = {
     import graft.link.{FusedAnnotate, Pairs, Scoring}
-    Pairs.candidatePairs(
+    val pairs = Pairs.candidatePairs(
       FusedAnnotate.annotate(docs, a, Scoring.Params(), Scoring.defaultModel()))
-      .count()
+    val n = pairs.count()
+    // free the blockSeq checkpoint blocks NOW: leaving them to the lazy
+    // weak-ref ContextCleaner lets repeated runs fill the block manager
+    // (observed 4-17x degradation on later same-session trials)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pairs)
+    n
+  }
+
+  /** Print any stage slower than `thresholdMs` (diagnosis: which stage eats
+    * a slow trial). Enabled with SPARK_BENCH_STAGELOG=1. */
+  private def addStageLogger(spark: SparkSession, thresholdMs: Long = 3000): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val info = sc.stageInfo
+        val ms = (for {
+          s <- info.submissionTime; c <- info.completionTime
+        } yield c - s).getOrElse(0L)
+        if (ms >= thresholdMs) {
+          val m = info.taskMetrics
+          println(f"STAGELOG id=${info.stageId}%5d ${ms / 1e3}%8.2fs tasks=${info.numTasks}%4d " +
+            f"run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+            f"gc=${m.jvmGCTime / 1e3}%5.1fs deser=${m.executorDeserializeTime / 1e3}%5.1fs " +
+            f"shW=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1fs shRwait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs " +
+            f"spill=${m.memoryBytesSpilled / 1e9}%.1fg ${info.name.take(60)}%s")
+        }
+      }
+    })
   }
 
   def main(args: Array[String]): Unit = {
@@ -49,6 +76,7 @@ object BenchChild {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
     val spark = session(cores)
+    if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1")) addStageLogger(spark)
 
     mode match {
       case "scale" =>
@@ -56,7 +84,10 @@ object BenchChild {
         val docs = benchDocs(spark, sfDir, replicate)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
-        runPipeline(docs.sample(0.05, 42), a) // warmup: codegen + broadcasts
+        // ONE FULL untimed warmup run: a sampled warmup leaves the first
+        // timed trials paying JIT/C2 compilation and cache materialization
+        // (observed 3-4x same-stage CPU on trial 1 vs steady state)
+        runPipeline(docs, a)
         def gcSecs: Double = {
           import scala.jdk.CollectionConverters._
           java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -65,6 +96,10 @@ object BenchChild {
         val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
         println(s"SCALE $cores $nPages")
         for (t <- 1 to trials) {
+          // reclaim per-trial broadcasts/shuffle state via the weak-ref
+          // ContextCleaner before timing, not during the next trial
+          System.gc()
+          Thread.sleep(500)
           val gc0 = gcSecs
           val t0 = System.nanoTime()
           runPipeline(docs, a)

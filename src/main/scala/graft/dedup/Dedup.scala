@@ -49,15 +49,27 @@ object Dedup {
 
   /** deterministic global shingle ids: dense rank over the sorted distinct
     * shingle set. Single-partition window is intentional here (oracle
-    * parity); the scale path swaps in xxhash64. */
+    * parity at test scale); [[docShingleIds]] with idMode="xxhash64" is the
+    * production path. */
   def shingleRanks(shingles: DataFrame): DataFrame =
     shingles.select(col("shingle")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
 
-  def docShingleIds(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
-    sh.join(broadcast(shingleRanks(sh)), Seq("shingle"))
-      .select(col("doc_id"), col("sid"))
+  /** Shingle ids per doc. idMode:
+    *  - "rank": dense ids via a global sort — cross-engine oracle parity,
+    *    NOT a scale path (one-task window);
+    *  - "xxhash64": sid = xxhash64(shingle) mod P — a pure per-row
+    *    projection, no vocabulary table, no join, no window: the 100 TB
+    *    path. Candidate sets are pinned equal across modes in-suite. */
+  def docShingleIds(docs: DataFrame, idMode: String = "rank"): DataFrame = idMode match {
+    case "rank" =>
+      val sh = docShingles(docs)
+      sh.join(broadcast(shingleRanks(sh)), Seq("shingle"))
+        .select(col("doc_id"), col("sid"))
+    case "xxhash64" =>
+      docShingles(docs)
+        .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid"))
+    case other => throw new IllegalArgumentException(s"unknown idMode: $other")
   }
 
   /** MinHash signatures: mh_i(doc) = min over shingles of
@@ -76,9 +88,10 @@ object Dedup {
   /** LSH banding (numHashes/bands rows per band); bucket key =
     * sum(v * 31^(h mod rows)) mod P. Candidate pairs = docs sharing any
     * (band, bucket) — an equi-join, linear in collisions. */
-  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+      idMode: String = "rank"): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docShingleIds(docs), numHashes)
+    val sig = minhashSignatures(docShingleIds(docs, idMode), numHashes)
     val banded = sig
       .withColumn("band", (col("h") / lit(rows)).cast("int"))
       .withColumn("pw", when(col("h") % lit(rows) === 0, lit(1L)).otherwise(lit(31L)))
@@ -110,8 +123,9 @@ object Dedup {
 
   /** Exact shingle-Jaccard verification of candidate pairs (the verify step
     * after LSH): |A ∩ B| / |A ∪ B| >= threshold. */
-  def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val ids = docShingleIds(docs)
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double,
+      idMode: String = "rank"): DataFrame = {
+    val ids = docShingleIds(docs, idMode)
     val sizes = ids.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = ids.select(col("doc_id").as("doc1"), col("sid"))
     val b = ids.select(col("doc_id").as("doc2"), col("sid"))
@@ -120,11 +134,13 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), Seq("doc1"))
       .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), Seq("doc2"))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("sz1") + col("sz2") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= lit(threshold))
-      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .withColumn("jaccard_raw",
+        col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")).cast("double"))
+      // threshold on the UNROUNDED ratio (matches the oracle's WHERE);
+      // round only the projected column
+      .filter(col("jaccard_raw") >= lit(threshold))
+      .select(col("doc1"), col("doc2"), round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** Deterministic near-dup augmentation for small scale factors (the

@@ -199,6 +199,73 @@ object DictBuild {
     spark.createDataset(DictSpec.dumpLines)
   }
 
+  /** The real file-based dump scan (readers/dumpreader.py:12-17): a plain
+    * text scan; .bz2/.zst resolve through Hadoop compression codecs, so the
+    * same call reads wikidata-dump-shaped files at any size. Feed the
+    * result to [[parseDump]]. */
+  def readDumpFile(spark: SparkSession, path: String): Dataset[String] =
+    spark.read.textFile(path)
+
+  // ---- indexing-profile JSON files (indexingprofile.py:84-104) -------------
+
+  /** Load an IndexingProfile JSON file (the reference's user-facing config,
+    * e.g. profiles/human_organization_location.json). Nulls mean "no
+    * restriction" (all_items_profile.json). */
+  def loadProfile(path: String): DictSpec.Profile = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    def strField(name: String, default: String): String =
+      json \ name match { case JString(s) => s; case _ => default }
+    val types = json \ "restrict_types" match {
+      case JArray(vs) => vs.map { v =>
+        val JString(t) = v \ "type"
+        val JString(p) = v \ "property"
+        DictSpec.TypeConstraint(t, p)
+      }
+      case _ => Nil
+    }
+    val props = json \ "restrict_properties" match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val aliases = json \ "alias_properties" match {
+      case JArray(vs) => vs.map { v =>
+        val JString(p) = v \ "property"
+        val prefix = v \ "prefix" match { case JString(s) => Some(s); case _ => None }
+        DictSpec.AliasProperty(p, prefix)
+      }
+      case _ => Nil
+    }
+    DictSpec.Profile(
+      language = strField("language", "en"),
+      restrictTypes = types,
+      restrictProperties = props,
+      aliasProperties = aliases,
+      name = strField("name", ""),
+      solrconfig = strField("solrconfig", "tapioca"))
+  }
+
+  /** Serialize a profile back to the reference's JSON shape
+    * (indexingprofile.py:84-91; round-trip pinned by the fixtures spec). */
+  def profileJson(p: DictSpec.Profile): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JObject(
+      "language" -> JString(p.language),
+      "name" -> JString(p.name),
+      "solrconfig" -> JString(p.solrconfig),
+      "restrict_properties" -> JArray(p.restrictProperties.map(JString(_)).toList),
+      "restrict_types" -> JArray(p.restrictTypes.map(t => JObject(
+        "type" -> JString(t.qid), "property" -> JString(t.pid))).toList),
+      "alias_properties" -> JArray(p.aliasProperties.map(a => JObject(
+        "property" -> JString(a.pid),
+        "prefix" -> a.prefix.map(JString(_)).getOrElse(JNull))).toList))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
   /** Qid/Pid normalization (utils.py:3-34): extract the trailing Q/P id
     * from an entity URI, null when absent. */
   def qidFromUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

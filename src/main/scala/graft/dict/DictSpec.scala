@@ -199,7 +199,9 @@ object DictSpec {
       language: String,
       restrictTypes: Seq[TypeConstraint],
       restrictProperties: Seq[String],
-      aliasProperties: Seq[AliasProperty])
+      aliasProperties: Seq[AliasProperty],
+      name: String = "",
+      solrconfig: String = "tapioca")
 
   /** Mirrors profiles/human_organization_location.json shape: restrict to
     * items typed (P31, subclass-of Q200) or bearing P2002; pull P2002 values

@@ -53,11 +53,16 @@ object Pairs {
     * frame: the sampled range boundaries must be pinned so the counts job
     * and the ranking job see one consistent partition assignment.
     */
-  private[graft] def blockSeq(m: DataFrame, numParts: Int): DataFrame = {
+  private[graft] def blockSeq(m0: DataFrame, numParts: Int): DataFrame = {
+    // repartitionByRange runs a SEPARATE range-sampling job over its input
+    // before the shuffle: without this persist the entire upstream pipeline
+    // (annotate!) executes twice per call
+    val m = m0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val part = m
       .repartitionByRange(numParts, col("block_key"), col("mention_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
+    m.unpersist(false) // checkpoint materialized eagerly; input no longer read
     val cnts = part.groupBy("pid", "block_key").agg(count(lit(1)).as("cnt"))
     val wOff = Window.partitionBy("block_key").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -97,7 +102,9 @@ object Pairs {
       col("block_key"), col("seq").as("seq2"),
       col("mention_id").as("id2"), col("surface").as("surface2"),
       col("best_qid").as("qid2"))
-    scorePairs(left.join(right, Seq("block_key", "seq2")))
+    // pin shuffle-hash: both sides are mention-sized; a mis-estimated AQE
+    // broadcast of the full mention table stalls the driver for minutes
+    scorePairs(left.join(right.hint("shuffle_hash"), Seq("block_key", "seq2")))
   }
 
   /** Reference implementation of the same pairing via a per-block global

@@ -71,9 +71,9 @@ object TextStats {
         .as("bpe_tokens"))
   }
 
-  /** deterministic word ids: dense rank over the sorted corpus vocabulary
-    * (small; the scale path is xxhash64 — rank ids exist for oracle
-    * parity). */
+  /** deterministic word ids: dense rank over the sorted corpus vocabulary —
+    * cross-engine oracle parity at test scale, NOT a scale path (one-task
+    * window). [[fingerprint]] with idMode="xxhash64" is the 100 TB path. */
   def wordRanks(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -83,13 +83,22 @@ object TextStats {
 
   /** rolling-hash document fingerprint: sum over tokens of
     * wid(token) * (position multiplier) mod P — position-sensitive
-    * (anagram docs get different prints), portable arithmetic. */
-  def fingerprint(docs: DataFrame): DataFrame = {
+    * (anagram docs get different prints), portable arithmetic. idMode:
+    * "rank" joins the dense vocabulary table (oracle parity); "xxhash64"
+    * computes wid inline per row — no vocabulary, no join, no window. The
+    * induced duplicate-grouping is pinned equal across modes in-suite. */
+  def fingerprint(docs: DataFrame, idMode: String = "rank"): DataFrame = {
     val p = graft.dedup.Dedup.P
     val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "word")
       .filter(length(col("word")) > 0)
-    toks.join(broadcast(wordRanks(docs)), Seq("word"))
+    val withWid = idMode match {
+      case "rank" => toks.join(broadcast(wordRanks(docs)), Seq("word"))
+      case "xxhash64" =>
+        toks.withColumn("wid", pmod(xxhash64(col("word")), lit(p)))
+      case other => throw new IllegalArgumentException(s"unknown idMode: $other")
+    }
+    withWid
       .withColumn("mult", (lit(1L) + lit(37L) * (col("pos") % lit(64))) % lit(p))
       .groupBy(col("doc_id"))
       .agg((sum((col("wid") * col("mult")) % lit(p)) % lit(p)).as("fingerprint"))

@@ -40,4 +40,28 @@ class FusedSpec extends AnyFunSuite {
       assert(math.abs(score - sc2) < 1e-9, s"$k score mismatch")
     }
   }
+
+  test("join strategy (no driver dict collect) equals broadcast strategy") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 60)
+    val params = Scoring.Params()
+    val model = Scoring.ctxModel() // non-trivial: scores must agree too
+    def run(strategy: String) =
+      FusedAnnotate.annotate(docs, a, params, model, strategy)
+        .select("doc_id", "start", "end", "surface", "best_qid", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+          (r.getString(3), r.getString(4), r.getDouble(5)))
+        .toMap
+    val bc = run("broadcast")
+    val jn = run("join")
+    assert(bc.nonEmpty)
+    assert(bc.keySet == jn.keySet)
+    bc.foreach { case (k, (surf, qid, score)) =>
+      val (s2, q2, sc2) = jn(k)
+      assert(surf == s2 && qid == q2, s"$k link mismatch")
+      assert(math.abs(score - sc2) < 1e-9, s"$k score mismatch")
+    }
+  }
 }

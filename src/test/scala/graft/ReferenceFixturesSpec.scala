@@ -1,0 +1,235 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dict.{DictBuild, DictSpec}
+import graft.graph.PageRank
+import graft.link.{Mentions, Scoring}
+import graft.model.Bow
+import graft.sources.NifGold
+
+/** The engine vs the REFERENCE's own fixtures and numeric goldens — every
+  * assertion here is a number or behavior pinned by a test in
+  * /root/reference/opentapioca/tests/, exercised through the real
+  * file-based scan paths (bz2 dump, TSV graph, NIF TTL).
+  */
+class ReferenceFixturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val fixtureDir = "/root/reference/opentapioca/tests/data"
+  val dumpPath = s"$fixtureDir/sample_wikidata_items.json.bz2"
+
+  lazy val allItemsProfile: DictSpec.Profile =
+    DictBuild.loadProfile(s"$fixtureDir/all_items_profile.json")
+
+  lazy val fixtureItems = DictBuild.parseDump(
+    DictBuild.readDumpFile(spark, dumpPath)).cache()
+
+  lazy val fixtureDict = DictBuild.entityToDocument(
+    fixtureItems, allItemsProfile, Map.empty).cache()
+
+  // tests/test_dumpreader.py:13-20 — 100 items through the real bz2 scan
+  test("dump scan: 100 items parse from the bz2 fixture via spark.read.text") {
+    val ids = fixtureItems.select(col("it.id")).as[String].collect()
+    assert(ids.length == 100)
+    assert(ids.forall(_.matches("[QPL]\\d+.*")))
+  }
+
+  // tests/test_wditem.py:7-13 — statement/sitelink/type/edge goldens
+  test("wditem goldens: Q30264236 statements, sitelinks, types, edges") {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtureDir/Q30264236.json")), "UTF-8")
+    val items = DictBuild.parseDump(spark.createDataset(Seq(raw))).cache()
+    val row = DictBuild.entityToDocument(items, allItemsProfile, Map.empty)
+      .select("id", "nb_statements", "nb_sitelinks").head()
+    assert(row.getString(0) == "Q30264236")
+    assert(row.getInt(1) == 9)
+    assert(row.getInt(2) == 0)
+    // outgoing edges incl. P31 (wditem default), as the graph build sees them
+    val edges = PageRank.rawEdgesFromItems(items)
+      .select("dst").as[Long].collect().toSet
+    assert(edges == Set(31855L, 148L, 530471L, 9384257L, 185684L))
+    val types = items.select(explode(expr(
+      """filter(transform(coalesce(it.claims['P31'], array()),
+        |  c -> try_variant_get(c.mainsnak.datavalue, '$.value["numeric-id"]', 'int')),
+        |  x -> x is not null)""".stripMargin))).as[Int].collect().toSeq
+    assert(types == Seq(31855))
+  }
+
+  // tests/test_wditem.py:15-22 + test_indexingprofile.py:84-89 — label
+  // language fallback and revid
+  test("wditem goldens: Q62653454 label fallback + revid") {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtureDir/Q62653454.json")), "UTF-8")
+    val items = DictBuild.parseDump(spark.createDataset(Seq(raw)))
+    val row = DictBuild.entityToDocument(items, allItemsProfile, Map.empty)
+      .select("label", "revid").head()
+    assert(row.getString(0) == "Elisabeth Hauterive")
+    assert(row.getLong(1) == 900557325L)
+  }
+
+  // tests/test_wikidatagraph.py:26 — pagerank(Q45) from the TSV fixture
+  test("pagerank(Q45) in (0.0003, 0.0004) on the reference graph fixture") {
+    val lines = spark.read.textFile(s"$fixtureDir/sample_wikidata_items.tsv")
+    val parsed = lines.map { l =>
+      val f = l.split("\t")
+      def ints(s: String): Seq[Long] =
+        s.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong).toSeq
+      (f(0).toLong, ints(f(1)), ints(f(2)))
+    }.toDF("src", "dst", "cnt")
+    val lastQid = parsed.agg(max(col("src"))).head().getLong(0)
+    val raw = parsed
+      .select(col("src"), explode(arrays_zip(col("dst"), col("cnt"))).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.cnt").as("cnt"))
+      .filter(col("dst") <= lit(lastQid))
+    // row-normalize on the multiplicity counts (wikidatagraph.py:96-105)
+    val totals = raw.groupBy("src").agg(sum(col("cnt")).as("tot"))
+    val weighted = raw.join(totals, "src")
+      .select(col("src"), col("dst"), (col("cnt") / col("tot")).as("weight"))
+    val pr = PageRank.run(spark, weighted, lastQid)
+    val q45 = pr.ranks.filter(col("qid") === 45L).select("rank").head().getDouble(0)
+    info(f"pagerank(Q45) = $q45%.7f")
+    assert(q45 > 0.0003 && q45 < 0.0004)
+    assert(lastQid + 1 == 3942) // graph shape golden (test_compile_dump)
+  }
+
+  // tests/test_languagemodel.py — tokenize + smoothed log-likelihood goldens
+  test("BOW goldens: tokenize + ll('dear speaker') in (-4.2, -4.1)") {
+    assert(graft.text.TextOps.bowTokenize("invited speakers") ==
+      Seq("invited", "speakers"))
+    // ingest(['the','invited','speaker']); ingest(['the','speaker','of','the','house'])
+    val counts = Map("the" -> 3L, "invited" -> 1L, "speaker" -> 2L,
+      "of" -> 1L, "house" -> 1L)
+    val bow = Bow.Model(counts, counts.values.sum)
+    assert(bow.wordCount("speaker") == 2L)
+    val ll = bow.phraseLL("dear speaker")
+    info(f"ll('dear speaker') = $ll%.5f")
+    assert(ll > -4.2 && ll < -4.1)
+  }
+
+  // tests/test_classifier.py:63-82 — the three-mention similarity goldens
+  test("similarity goldens: 1.0 / ~0.57 / ~0.42 (smoothing=2, D=10)") {
+    val params = Scoring.Params(maxSimilarityDistance = 10, similaritySmoothing = 2.0)
+    // 'Vanuatu is very very far appart from Sweden, an EU member'
+    val tags = Seq(
+      (0L, 0, 7, "Q686", 686L, Seq.empty[Int]),
+      (0L, 37, 43, "Q34", 34L, Seq(458)),
+      (0L, 48, 50, "Q458", 458L, Seq.empty[Int]))
+      .toDF("doc_id", "start", "end", "qid", "qid_num", "edges")
+    val w = Scoring.similarityEdges(tags, params)
+      .select("src_start", "src_qid", "dst_qid", "weight")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(w((0, "Q686", "Q686")) - 1.0) < 1e-9) // others too far
+    assert(math.abs(w((37, "Q34", "Q34")) - 0.57) < 0.01)
+    assert(math.abs(w((37, "Q34", "Q458")) - 0.42) < 0.01)
+    assert(math.abs(w((48, "Q458", "Q458")) - 0.57) < 0.01)
+    assert(math.abs(w((48, "Q458", "Q34")) - 0.42) < 0.01)
+  }
+
+  // tests/test_taggerfactory.py:70-71 + test_tagger.py:52-55 — index the
+  // real dump, tag a sentence, expect Q686 at [10, 17)
+  test("end-to-end golden: 'I live in Vanuatu' -> Q686 @ [10,17)") {
+    val keys = DictBuild.dictKeys(fixtureDict).cache()
+    val maxN = keys.agg(max(col("n_tokens"))).head().getInt(0)
+    val docs = Seq((0L, "I live in Vanuatu")).toDF("doc_id", "text")
+    val mentions = Mentions.extract(docs, keys, maxN)
+    val spans = mentions.select("start", "end", "surface").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(spans.contains((10, 17, "Vanuatu")), s"got $spans")
+    val qids = Mentions.matchSpans(Mentions.candidateSpans(docs, maxN), keys)
+      .filter(col("start") === 10 && col("end") === 17)
+      .select("qid").as[String].collect().toSet
+    assert(qids == Set("Q686"))
+  }
+
+  // tests/test_indexingprofile.py — profile JSON load + round-trip
+  test("indexing profile: load fields + JSON round-trip") {
+    val p = DictBuild.loadProfile(s"$fixtureDir/indexing_profile.json")
+    assert(p.language == "en")
+    assert(p.name == "affiliations")
+    assert(p.restrictProperties == Seq("P2427", "P1566", "P496"))
+    assert(p.restrictTypes == Seq(
+      DictSpec.TypeConstraint("Q43229", "P31"),
+      DictSpec.TypeConstraint("Q618123", "P31"),
+      DictSpec.TypeConstraint("Q5", "P31")))
+    assert(p.aliasProperties == Seq(
+      DictSpec.AliasProperty("P496", None),
+      DictSpec.AliasProperty("P2002", Some("@")),
+      DictSpec.AliasProperty("P4550", None)))
+    // round-trip: serialize and re-load — identical profile
+    val tmp = java.nio.file.Files.createTempFile("profile", ".json")
+    java.nio.file.Files.write(tmp, DictBuild.profileJson(p).getBytes("UTF-8"))
+    assert(DictBuild.loadProfile(tmp.toString) == p)
+    java.nio.file.Files.delete(tmp)
+    // all_items profile: nulls mean no restriction
+    assert(allItemsProfile.restrictTypes.isEmpty &&
+      allItemsProfile.restrictProperties.isEmpty)
+  }
+
+  // classifier.py:184-195 — NIF gold scan over the shipped TTL fixtures
+  test("NIF gold scan: five-affiliations parses 5 contexts / 17 mentions") {
+    val path = s"$fixtureDir/five-affiliations.ttl"
+    val ctx = NifGold.contexts(spark, path).collect()
+    assert(ctx.length == 5)
+    val texts = ctx.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("/tmp/five-affiliations.ttl/0").startsWith("Department of Biology"))
+    val gold = NifGold.goldMentions(spark, path)
+    assert(gold.count() == 17)
+    val usa = gold.filter(col("surface") === "USA")
+      .select("begin", "end", "qid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(usa.contains((101, 104, "Q30")))
+    // gold surfaces match their context texts at the recorded offsets
+    val mismatch = NifGold.goldMentions(spark, path).as[NifGold.GoldMention]
+      .collect().count { g =>
+        texts(g.doc_uri).substring(g.begin, g.end) != g.surface
+      }
+    assert(mismatch == 0)
+  }
+
+  // classifier.py train/evaluate shape: link the istex_train contexts with
+  // the fixture dictionary and score pairwise agreement against the
+  // REFERENCE gold labels (data/istex_train.ttl) on exactly-matching spans.
+  test("GATE: pairwise F1 vs reference NIF gold on istex_train overlap") {
+    val path = "/root/reference/data/istex_train.ttl"
+    val ctx = NifGold.contexts(spark, path)
+      .withColumn("doc_id", regexp_extract(col("doc_uri"), "/(\\d+)$", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+    assert(ctx.count() == 750)
+
+    val keys = DictBuild.dictKeys(fixtureDict).cache()
+    val maxN = keys.agg(max(col("n_tokens"))).head().getInt(0)
+    val bow = Bow.buildModel(fixtureItems)
+    val (weighted, lastQid) = PageRank.normalizeEdges(
+      PageRank.rawEdgesFromItems(fixtureItems))
+    val pr = PageRank.run(spark, weighted, lastQid)
+
+    val tags = Mentions.candidates(
+      Mentions.extract(ctx, keys, maxN), keys, fixtureDict, pr, bow).cache()
+    val best = Scoring.bestLinks(tags, Scoring.Params(), Scoring.ctxModel())
+
+    val gold = NifGold.goldMentions(spark, path)
+      .withColumn("doc_id", regexp_extract(col("doc_uri"), "/(\\d+)$", 1).cast("long"))
+      .select(col("doc_id"), col("begin"), col("end"), col("qid").as("gold_qid"))
+
+    val pairs = graft.link.Pairs.candidatePairs(best)
+    // gold label per mention id (exact span match)
+    val goldById = gold.select(
+      ((col("doc_id") * 100000000L) + (col("begin").cast("long") * 10000L) +
+        col("end")).as("mid"), col("gold_qid"))
+    val labeled = pairs
+      .join(goldById.withColumnRenamed("mid", "id1")
+        .withColumnRenamed("gold_qid", "gold1"), Seq("id1"))
+      .join(goldById.withColumnRenamed("mid", "id2")
+        .withColumnRenamed("gold_qid", "gold2"), Seq("id2"))
+      .withColumn("gold_same", col("gold1") === col("gold2"))
+    val n = labeled.count()
+    val (p, r, f1) = graft.link.Pairs.pairwiseF1(labeled, "gold_same")
+    info(f"gold-labeled pairs=$n precision=$p%.4f recall=$r%.4f f1=$f1%.4f")
+    assert(n >= 20, s"gold overlap too thin: $n pairs")
+    assert(f1 >= 0.99, f"pairwise F1 vs reference gold: $f1%.4f")
+  }
+}
