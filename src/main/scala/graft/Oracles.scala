@@ -341,6 +341,82 @@ object Oracles {
        |       (qid1 IS NOT NULL AND qid2 IS NOT NULL AND qid1 = qid2) AS same_entity
        |FROM pairs""".stripMargin
 
+  // ---- full mention clustering (el_clusters) -------------------------------
+  // Independent algorithm: the generic large-star/small-star CC in Spark is
+  // checked against a first-principles derivation that exploits the pairing
+  // structure — same-entity edges only connect mentions of the SAME best_qid
+  // at block-seq distance <= 2, so every component is a maximal run of
+  // same-(block, qid) mentions with consecutive seq gaps <= 2, and its label
+  // is the run's minimum mention id. No recursion needed.
+  val elClustersSql: String =
+    s"""WITH $mentionsCtes,
+       |$pagerankCtes,
+       |best AS MATERIALIZED (
+       |  SELECT doc_id, m_start, m_end, surface, qid AS best_qid,
+       |         doc_id * 100000000 + m_start * 10000 + m_end AS mention_id,
+       |         split_part(surface, ' ', 1) AS block_key
+       |  FROM (
+       |    SELECT m.doc_id, m.m_start, m.m_end, m.surface, d.qid,
+       |           row_number() OVER (
+       |             PARTITION BY m.doc_id, m.m_start, m.m_end
+       |             ORDER BY 23.0 + ln(p.r) DESC, d.qid) AS tag_order
+       |    FROM mentions m
+       |    JOIN dict d ON d.norm_key = m.surface
+       |    JOIN pr p ON p.id = CAST(substr(d.qid, 2) AS INTEGER))
+       |  WHERE tag_order = 1
+       |),
+       |seqd AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY block_key ORDER BY mention_id) AS seq
+       |  FROM best),
+       |runs AS MATERIALIZED (
+       |  SELECT *, CASE WHEN seq - lag(seq) OVER (
+       |              PARTITION BY block_key, best_qid ORDER BY seq) <= 2
+       |            THEN 0 ELSE 1 END AS brk
+       |  FROM seqd),
+       |grps AS MATERIALIZED (
+       |  SELECT *, sum(brk) OVER (
+       |    PARTITION BY block_key, best_qid ORDER BY seq) AS grp
+       |  FROM runs)
+       |SELECT CAST(mention_id AS BIGINT) AS node,
+       |       CAST(min(mention_id) OVER (
+       |         PARTITION BY block_key, best_qid, grp) AS BIGINT) AS component
+       |FROM grps""".stripMargin
+
+  // ---- ANN: LSH variant is deterministic portable arithmetic — full oracle
+  val annLshSql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |),
+      |comp AS MATERIALIZED (
+      |  SELECT vec_id, unnest(vec) AS val, generate_subscripts(vec, 1) - 1 AS i FROM v
+      |),
+      |proj AS MATERIALIZED (
+      |  SELECT c.vec_id, b.b AS b,
+      |         sum(c.val * (CASE WHEN ((b.b + 1) * 2654435761 + 97 * c.i) % 2147483647 % 2 = 1
+      |                      THEN 1.0 ELSE -1.0 END)) AS proj
+      |  FROM comp c CROSS JOIN range(0, 8) b(b)
+      |  GROUP BY c.vec_id, b.b
+      |),
+      |sigt AS MATERIALIZED (
+      |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+      |  FROM proj GROUP BY vec_id
+      |),
+      |sig AS MATERIALIZED (
+      |  SELECT v.vec_id, v.vec, sigt.s FROM v JOIN sigt USING (vec_id)
+      |),
+      |cand AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |         list_cosine_similarity(q.vec, c.vec) AS cos
+      |  FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id != q.vec_id
+      |  WHERE q.vec_id % 100 = 0
+      |)
+      |SELECT query_id, cand_id, round(cos, 6) AS cos, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM cand)
+      |WHERE rk <= 5""".stripMargin
+
   // ---- connected components over the alias-sharing qid graph --------------
 
   val elCcAliasSql: String =

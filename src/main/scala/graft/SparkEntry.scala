@@ -120,9 +120,13 @@ object SparkEntry {
       graft.link.ConnectedComponents.runWithIsolated(s, nodes, edges)
     }),
     "el_clusters" -> ((s, dir) =>
-      // full transitive clustering of same-entity mention pairs (rows-only
-      // check: CC at this scale is not reasonably SQL-expressible)
-      Pipeline.clusters(s, dir)),
+      // full transitive clustering of same-entity mention pairs; the oracle
+      // re-derives components from the pairing structure (same-qid runs at
+      // block-seq gap <= windowSize), independent of the large-star /
+      // small-star algorithm under test
+      Pipeline.clusters(s, dir)
+        .select(col("node").cast("long").as("node"),
+          col("component").cast("long").as("component"))),
 
     // ---- dedup suite --------------------------------------------------------
     "dd_exact" -> ((s, dir) =>
@@ -143,8 +147,9 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) =>
       graft.sim.Ann.bruteForceTopK(read(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) =>
-      // LSH-bucketed variant (rows-only: recall-oriented, oracle is the
-      // exact brute force above)
+      // LSH-bucketed variant — the signature arithmetic is deterministic
+      // and portable, so the oracle recomputes signatures, bucket join and
+      // re-rank exactly in SQL
       graft.sim.Ann.lshTopK(read(s, dir, "embeddings"))),
 
     // ---- text analysis ------------------------------------------------------
@@ -214,6 +219,8 @@ object SparkEntry {
     "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
     "el_pairs" -> Oracles.elPairsSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
+    "el_clusters" -> Oracles.elClustersSql,
+    "ann_lsh" -> Oracles.annLshSql,
     "dd_exact" -> Oracles.ddExactSql,
     "dd_minhash" -> Oracles.ddMinhashSql,
     "dd_simhash" -> Oracles.ddSimhashSql,
