@@ -650,6 +650,21 @@ object Oracles {
       |WHERE length(t.word) > 0
       |GROUP BY t.doc_id""".stripMargin
 
+  /** Expected dictionary after the edit stream: last-write-wins +
+    * delete_excluded re-derived in plain Scala, inlined as VALUES. */
+  val streamUpsertSql: String = {
+    val rows = DictSpec.expectedDictAfterStream.sortBy(_.id).map { r =>
+      s"(${q(r.id)}, ${r.revid}, ${q(r.label)}, ${r.edges.size}, " +
+        s"${r.aliases.size}, ${r.nbStatements}, ${r.nbSitelinks})"
+    }.mkString(", ")
+    s"""SELECT id, CAST(revid AS BIGINT) AS revid, label,
+       |CAST(n_edges AS INTEGER) AS n_edges, CAST(n_aliases AS INTEGER) AS n_aliases,
+       |CAST(nb_statements AS INTEGER) AS nb_statements,
+       |CAST(nb_sitelinks AS INTEGER) AS nb_sitelinks
+       |FROM (VALUES $rows)
+       |AS t(id, revid, label, n_edges, n_aliases, nb_statements, nb_sitelinks)""".stripMargin
+  }
+
   val streamWindowSql: String =
     """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
       |       event_type,

@@ -165,6 +165,13 @@ object SparkEntry {
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCounts(s, dir)),
+    "stream_upsert" -> ((s, _) =>
+      // REAL Structured Streaming edit-stream upsert: readStream over staged
+      // dump files -> foreachBatch merge -> one committed snapshot per batch
+      graft.streaming.EventStream.dictUpsertStreamDemo(s)
+        .select(col("id"), col("revid"), col("label"),
+          size(col("edges")).as("n_edges"), size(col("aliases")).as("n_aliases"),
+          col("nb_statements"), col("nb_sitelinks"))),
 
     // ---- multimodal / pages -------------------------------------------------
     "mm_extract" -> ((s, dir) => {
@@ -231,6 +238,7 @@ object SparkEntry {
     "ts_tokens" -> Oracles.tsTokensSql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "stream_window" -> Oracles.streamWindowSql,
+    "stream_upsert" -> Oracles.streamUpsertSql,
     "mm_extract" -> Oracles.mmExtractSql,
   )
 }

@@ -192,6 +192,43 @@ object DictSpec {
   def dumpLines: Seq[String] =
     Seq("[") ++ allEntities.map(e => entityJson(e) + ",") ++ Seq("]")
 
+  // ---- edit-stream revision batch ------------------------------------------
+
+  /** Deterministic revisions applied AFTER the base dump by the streaming
+    * upsert (streamreader.py:16-71 + taggerfactory delete_excluded):
+    * a label/alias edit, a previously-excluded item gaining the target type,
+    * an item losing its type (must be deleted), and a brand-new item. */
+  val revisionEntities: Seq[EntitySpec] = Seq(
+    EntitySpec("Q2", Map(Lang -> "sort merge join"),
+      Map(Lang -> "the sort merge join operator (revised)"),
+      Map(Lang -> Seq("merge join")),
+      Seq(ClaimSpec("P31", target = Some(201)), ClaimSpec("P361", target = Some(10))),
+      31, 9102L),
+    EntitySpec("Q13", Map(Lang -> "customer"),
+      Map(Lang -> "the customer operator"), Map.empty,
+      Seq(ClaimSpec("P31", target = Some(201)), ClaimSpec("P361", target = Some(21))),
+      10, 9113L),
+    EntitySpec("Q8", Map(Lang -> "merge"),
+      Map(Lang -> "no longer an operator"), Map.empty,
+      Seq(ClaimSpec("P31", target = Some(211))), 50, 9108L),
+    EntitySpec("Q99", Map(Lang -> "compaction"),
+      Map(Lang -> "the compaction operator"), Map(Lang -> Seq("compact")),
+      Seq(ClaimSpec("P31", target = Some(202)), ClaimSpec("P361", target = Some(6))),
+      7, 9199L))
+
+  def revisionLines: Seq[String] =
+    Seq("[") ++ revisionEntities.map(e => entityJson(e) + ",") ++ Seq("]")
+
+  /** Expected dictionary after the stream: per id, the latest revision's
+    * projection — present iff the latest revision still projects (plain
+    * Scala re-derivation, the stream_upsert oracle). */
+  lazy val expectedDictAfterStream: Seq[DictRow] = {
+    val byId = scala.collection.mutable.LinkedHashMap[String, Option[DictRow]]()
+    allEntities.foreach(e => byId(e.qid) = entityToDocument(e))
+    revisionEntities.foreach(e => byId(e.qid) = entityToDocument(e))
+    byId.values.flatten.toSeq
+  }
+
   // ---- profile ------------------------------------------------------------
   final case class TypeConstraint(qid: String, pid: String)
   final case class AliasProperty(pid: String, prefix: Option[String])

@@ -71,7 +71,14 @@ object EventStream {
   def applyDumpUpdates(spark: SparkSession, current: DataFrame,
       rawUpdateLines: org.apache.spark.sql.Dataset[String]): DataFrame = {
     import graft.dict.{DictBuild, DictSpec}
-    val items = DictBuild.parseDump(rawUpdateLines)
+    val all = DictBuild.parseDump(rawUpdateLines)
+    // a micro-batch may contain several revisions of one item (the
+    // reference fetches the LATEST state per qid): keep max-revid per id so
+    // batch granularity cannot change the outcome
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("it.id")).orderBy(col("it.lastrevid").desc)
+    val items = all.withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1).drop("rn")
     val closures = DictSpec.profile.restrictTypes.map { c =>
       c.qid -> DictSpec.subclassClosure(c.qid.drop(1).toInt)
     }.toMap
@@ -80,5 +87,77 @@ object EventStream {
     val deletes = touched.join(projected.select("id"), Seq("id"), "left_anti")
     val kept = current.join(deletes, Seq("id"), "left_anti")
     dictUpserts(spark, projected, kept)
+  }
+
+  /** The edit stream as an ACTUAL Structured Streaming query: staged dump
+    * files -> readStream.text -> foreachBatch(applyDumpUpdates) -> one
+    * committed dictionary snapshot per micro-batch (Snapshots.commit with
+    * the batch id in the lineage). The reference's `--after` cursor
+    * (streamreader.py:33-34) maps to checkpointLocation: a killed and
+    * restarted query resumes after the last committed batch without
+    * reprocessing. Call [[latestDict]] for the resulting state. */
+  def runDictUpsertStream(spark: SparkSession, updatesDir: String,
+      checkpointDir: String, snapshotRoot: String): Unit = {
+    import spark.implicits._
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
+      .text(updatesDir)
+    val q = lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark2 = batch.sparkSession
+        val current = latestDict(spark2, snapshotRoot)
+        val next = applyDumpUpdates(spark2, current,
+          batch.select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING))
+        val prev = graft.ckpt.Snapshots.latest(spark2, snapshotRoot, "dict_stream")
+          .map(s => s"dict_stream:${s._2.snapshotId}").toSeq
+        graft.ckpt.Snapshots.commit(next, snapshotRoot, "dict_stream",
+          inputs = prev :+ s"batch:$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Current dictionary state: the latest committed stream snapshot, or an
+    * empty frame with the dictionary schema. */
+  def latestDict(spark: SparkSession, snapshotRoot: String): DataFrame =
+    graft.ckpt.Snapshots.latest(spark, snapshotRoot, "dict_stream") match {
+      case Some((path, _)) => spark.read.parquet(path)
+      case None =>
+        import spark.implicits._
+        val closures = graft.dict.DictSpec.profile.restrictTypes.map { c =>
+          c.qid -> graft.dict.DictSpec.subclassClosure(c.qid.drop(1).toInt)
+        }.toMap
+        graft.dict.DictBuild.entityToDocument(
+          graft.dict.DictBuild.parseDump(spark.emptyDataset[String]),
+          graft.dict.DictSpec.profile, closures)
+    }
+
+  /** Driver-checked scenario: stage the base dump + the revision batch as
+    * two files, stream them through [[runDictUpsertStream]] from an empty
+    * dictionary, return the final state (oracle: last-write-wins +
+    * delete_excluded re-derived in plain Scala / SQL VALUES). */
+  /** Stage one update file with an explicit, strictly-increasing mtime:
+    * the file stream source orders files by modification time, and files
+    * written in the same millisecond would arrive in arbitrary order. */
+  def stageUpdateFile(dir: java.nio.file.Path, name: String,
+      lines: Seq[String], seq: Int): Unit = {
+    val p = dir.resolve(name)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
+    ()
+  }
+
+  def dictUpsertStreamDemo(spark: SparkSession): DataFrame = {
+    import graft.dict.DictSpec
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val updates = base.resolve("updates"); java.nio.file.Files.createDirectory(updates)
+    stageUpdateFile(updates, "000.json", DictSpec.dumpLines, 0)
+    stageUpdateFile(updates, "001.json", DictSpec.revisionLines, 1)
+    runDictUpsertStream(spark, updates.toString,
+      base.resolve("ckpt").toString, base.resolve("snaps").toString)
+    latestDict(spark, base.resolve("snaps").toString)
   }
 }

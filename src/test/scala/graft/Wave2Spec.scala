@@ -130,6 +130,41 @@ class Wave2Spec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("stream upsert: kill/resume from checkpoint processes only new files") {
+    import graft.streaming.EventStream
+    import graft.dict.DictSpec
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_resume")
+    val updates = base.resolve("updates"); java.nio.file.Files.createDirectory(updates)
+    val ckpt = base.resolve("ckpt").toString
+    val snaps = base.resolve("snaps").toString
+
+    // phase 1: base dump only
+    EventStream.stageUpdateFile(updates, "000.json", DictSpec.dumpLines, 0)
+    EventStream.runDictUpsertStream(spark, updates.toString, ckpt, snaps)
+    val after1 = Snapshots.latest(spark, snaps, "dict_stream").get._2
+    assert(after1.snapshotId == 0L)
+    assert(after1.rows == DictSpec.expectedDict.size)
+
+    // phase 2: new file lands; a NEW query on the same checkpoint resumes
+    // past batch 0 (the reference's --after cursor) and processes ONLY it
+    EventStream.stageUpdateFile(updates, "001.json", DictSpec.revisionLines, 1)
+    EventStream.runDictUpsertStream(spark, updates.toString, ckpt, snaps)
+    val after2 = Snapshots.latest(spark, snaps, "dict_stream").get._2
+    assert(after2.snapshotId == 1L, "resume must add exactly one snapshot")
+    assert(after2.inputs.contains("dict_stream:0"), s"lineage: ${after2.inputs}")
+
+    // final state == plain-Scala last-write-wins + delete_excluded oracle
+    val got = EventStream.latestDict(spark, snaps)
+      .select(col("id"), col("revid"), col("label")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val want = DictSpec.expectedDictAfterStream
+      .map(r => r.id -> ((r.revid, r.label))).toMap
+    assert(got == want)
+    assert(!got.contains("Q8")) // delete_excluded removed it
+    assert(got.contains("Q13") && got.contains("Q99")) // gained / new
+    assert(got("Q2")._1 == 9102L) // revision won by revid
+  }
+
   test("dict upsert merge: updates win by revid, deletes handled upstream") {
     val current = Seq(("Q1", 5L, "old"), ("Q2", 3L, "keep")).toDF("id", "revid", "label")
     val updates = Seq(("Q1", 9L, "new"), ("Q3", 1L, "add")).toDF("id", "revid", "label")
