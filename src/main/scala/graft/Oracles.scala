@@ -189,6 +189,25 @@ object Oracles {
         s"${r.nbSitelinks}, $edges::BIGINT[])"
     }.mkString(", ")
 
+  /** CTE chain ending in `surfll(surface, ll)`: the BOW phrase negative
+    * log-likelihood of every distinct mention surface, from first
+    * principles (requires `mentions` in scope). */
+  def bowLlCtes: String =
+    s"""bowterms(item, term) AS (VALUES $bowTermValues),
+       |bowwords AS MATERIALIZED (
+       |  SELECT DISTINCT item, unnest(string_split(term, ' ')) AS word FROM bowterms),
+       |bowall AS MATERIALIZED (SELECT word, count(*) AS cnt FROM bowwords GROUP BY word),
+       |bowsaved AS MATERIALIZED (SELECT word, cnt FROM bowall WHERE cnt >= 2),
+       |bowq AS MATERIALIZED (
+       |  SELECT ln(1.0 * (1 + (SELECT count(*) FROM bowsaved)) + (SELECT sum(cnt) FROM bowall)) AS lnq),
+       |surfll AS MATERIALIZED (
+       |  SELECT surface,
+       |         -(SELECT sum(ln(1.0 + coalesce((SELECT cnt FROM bowsaved b WHERE b.word = t.w), 0))
+       |                      - (SELECT lnq FROM bowq))
+       |           FROM unnest(string_split(surface, ' ')) t(w)) AS ll
+       |  FROM (SELECT DISTINCT surface FROM mentions)
+       |)""".stripMargin
+
   val elAnnotateCtxSql: String = {
     val model = graft.link.Scoring.ctxModel(2)
     val cols = for (s <- 0 to 2; i <- 0 to 4) yield s"s${s}_$i"
@@ -207,20 +226,7 @@ object Oracles {
        |  JOIN dict d ON d.norm_key = m.surface
        |  JOIN pr p ON p.id = CAST(substr(d.qid, 2) AS INTEGER)
        |),
-       |bowterms(item, term) AS (VALUES $bowTermValues),
-       |bowwords AS MATERIALIZED (
-       |  SELECT DISTINCT item, unnest(string_split(term, ' ')) AS word FROM bowterms),
-       |bowall AS MATERIALIZED (SELECT word, count(*) AS cnt FROM bowwords GROUP BY word),
-       |bowsaved AS MATERIALIZED (SELECT word, cnt FROM bowall WHERE cnt >= 2),
-       |bowq AS MATERIALIZED (
-       |  SELECT ln(1.0 * (1 + (SELECT count(*) FROM bowsaved)) + (SELECT sum(cnt) FROM bowall)) AS lnq),
-       |surfll AS MATERIALIZED (
-       |  SELECT surface,
-       |         -(SELECT sum(ln(1.0 + coalesce((SELECT cnt FROM bowsaved b WHERE b.word = t.w), 0))
-       |                      - (SELECT lnq FROM bowq))
-       |           FROM unnest(string_split(surface, ' ')) t(w)) AS ll
-       |  FROM (SELECT DISTINCT surface FROM mentions)
-       |),
+       |$bowLlCtes,
        |ctag AS MATERIALIZED (
        |  SELECT c.doc_id, c.m_start, c.m_end, c.surface, c.qid, c.rank, c.tag_order,
        |         f.qid_num, f.nb_statements, f.nb_sitelinks, f.edges, l.ll
@@ -297,6 +303,37 @@ object Oracles {
        |      FROM scored)
        |WHERE rn = 1 AND score > 0""".stripMargin
   }
+
+  // ---- annotations JSON sink (parse-back projection) -----------------------
+  // The Spark side serializes per-doc annotation JSON (mention.py:22-30
+  // shape) and parses it BACK, projecting per-doc aggregates; the oracle
+  // derives the same aggregates from the relational pipeline directly —
+  // a corrupted/incomplete JSON document cannot hash-match.
+  val elAnnotationsSql: String =
+    s"""WITH $mentionsCtes,
+       |$pagerankCtes,
+       |$bowLlCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT m.doc_id, m.m_start, m.m_end, m.surface, d.qid,
+       |         row_number() OVER (PARTITION BY m.doc_id, m.m_start, m.m_end
+       |                            ORDER BY 23.0 + ln(p.r) DESC, d.qid) AS tag_order
+       |  FROM mentions m
+       |  JOIN dict d ON d.norm_key = m.surface
+       |  JOIN pr p ON p.id = CAST(substr(d.qid, 2) AS INTEGER)
+       |),
+       |best AS MATERIALIZED (SELECT * FROM cand WHERE tag_order = 1),
+       |ntags AS MATERIALIZED (
+       |  SELECT doc_id, m_start, m_end, count(*) AS nt
+       |  FROM cand WHERE tag_order <= 10 GROUP BY 1, 2, 3)
+       |SELECT b.doc_id,
+       |       CAST(count(*) AS INTEGER) AS n_annotations,
+       |       string_agg(b.qid, ',' ORDER BY b.m_start, b.m_end) AS qids,
+       |       round(sum(l.ll), 4) AS sum_ll,
+       |       CAST(sum(n.nt) AS INTEGER) AS n_tags
+       |FROM best b
+       |JOIN surfll l ON l.surface = b.surface
+       |JOIN ntags n ON n.doc_id = b.doc_id AND n.m_start = b.m_start AND n.m_end = b.m_end
+       |GROUP BY b.doc_id""".stripMargin
 
   // ---- pairs: sorted-neighborhood within blocking key ----------------------
 

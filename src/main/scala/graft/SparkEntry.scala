@@ -104,6 +104,25 @@ object SparkEntry {
         .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
           col("surface"), col("best_qid"), round(col("score"), 6).as("score"),
           round(col("log_likelihood"), 6).as("log_likelihood"))),
+    "el_annotations" -> ((s, dir) => {
+      // JSON annotation sink exercised for real: serialize per-doc JSON,
+      // parse it back, project per-doc aggregates the oracle re-derives
+      // relationally — a malformed/incomplete document cannot hash-match
+      val js = graft.link.Annotations.toJsonPerDoc(
+        Pipeline.annotate(s, dir), Pipeline.candidates(s, dir))
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        """struct<doc_id: long, annotations: array<struct<
+          |  phrase: string, start: int, end: int, log_likelihood: double,
+          |  best_qid: string, best_tag_label: string,
+          |  tags: array<struct<id: string, label: string, rank: double,
+          |    nb_statements: int, nb_sitelinks: int, tag_order: int>>>>>""".stripMargin)
+      js.select(from_json(col("json"), schema).as("j"))
+        .select(col("j.doc_id").as("doc_id"),
+          size(col("j.annotations")).as("n_annotations"),
+          expr("array_join(transform(j.annotations, a -> a.best_qid), ',')").as("qids"),
+          round(expr("aggregate(transform(j.annotations, a -> a.log_likelihood), 0d, (acc, x) -> acc + x)"), 4).as("sum_ll"),
+          expr("aggregate(transform(j.annotations, a -> size(a.tags)), 0, (acc, x) -> acc + x)").as("n_tags"))
+    }),
     "el_pairs" -> ((s, dir) =>
       Pipeline.pairs(s, dir)
         .select(col("block_key"), col("id1"), col("id2"), col("lev"), col("jw"),
@@ -224,6 +243,7 @@ object SparkEntry {
     "el_candidates" -> Oracles.elCandidatesSql,
     "el_annotate" -> Oracles.elAnnotateSql,
     "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
+    "el_annotations" -> Oracles.elAnnotationsSql,
     "el_pairs" -> Oracles.elPairsSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
     "el_clusters" -> Oracles.elClustersSql,

@@ -18,10 +18,10 @@ object Annotations {
     val tagStruct = struct(
       col("qid").as("id"), col("label"), col("rank"),
       col("nb_statements"), col("nb_sitelinks"), col("tag_order"))
+    // best links carry log_likelihood themselves (BestLink schema)
     val tagsPerMention = tags
       .groupBy(col("doc_id"), col("start"), col("end"))
-      .agg(sort_array(collect_list(tagStruct)).as("tags"),
-        first(col("log_likelihood")).as("log_likelihood"))
+      .agg(sort_array(collect_list(tagStruct)).as("tags"))
     val mentions = best.join(tagsPerMention, Seq("doc_id", "start", "end"), "left")
       .select(col("doc_id"),
         struct(

@@ -61,8 +61,15 @@ object Trainer {
       .fit(prepared)
     val scaled = scalerModel.transform(prepared)
 
+    // sklearn LinearSVC(C) minimizes 0.5*||w||^2 + C*sum_i(w_i * loss_i);
+    // Spark minimizes regParam*0.5*||w||^2 + (1/sum_w)*sum_i(w_i * loss_i).
+    // Dividing sklearn's objective by C*sum(w) maps the regularization
+    // strength: regParam = 1/(C * sum(sampleWeights)); balanced weights sum
+    // to n. Residual non-equivalence: sklearn's default squared_hinge vs
+    // Spark's hinge loss — not expressible as a parameter.
+    val regParam = 1.0 / (c * n)
     val svc = new LinearSVC()
-      .setRegParam(c).setMaxIter(maxIter)
+      .setRegParam(regParam).setMaxIter(maxIter)
       .setLabelCol("label").setWeightCol("weight").setFeaturesCol("features")
       .fit(scaled)
 
