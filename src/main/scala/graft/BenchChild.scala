@@ -84,10 +84,17 @@ object BenchChild {
         val docs = benchDocs(spark, sfDir, replicate)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
-        // ONE FULL untimed warmup run: a sampled warmup leaves the first
-        // timed trials paying JIT/C2 compilation and cache materialization
-        // (observed 3-4x same-stage CPU on trial 1 vs steady state)
-        runPipeline(docs, a)
+        // TWO FULL untimed warmup runs: the first pays JIT/C2 compilation
+        // and cache materialization (3-4x same-stage CPU observed); the
+        // run right after it still absorbs the post-warmup weak-ref
+        // cleanup storm (3-10x observed on the first timed trial with a
+        // single warmup). Steady state starts at the third execution.
+        val warmups = sys.env.getOrElse("SPARK_BENCH_WARMUPS", "2").toInt
+        for (_ <- 1 to warmups) {
+          runPipeline(docs, a)
+          System.gc()
+          Thread.sleep(1000)
+        }
         def gcSecs: Double = {
           import scala.jdk.CollectionConverters._
           java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -99,7 +106,7 @@ object BenchChild {
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
           // ContextCleaner before timing, not during the next trial
           System.gc()
-          Thread.sleep(500)
+          Thread.sleep(1000)
           val gc0 = gcSecs
           val t0 = System.nanoTime()
           runPipeline(docs, a)

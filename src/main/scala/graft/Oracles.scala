@@ -419,9 +419,11 @@ object Oracles {
        |         PARTITION BY block_key, best_qid, grp) AS BIGINT) AS component
        |FROM grps""".stripMargin
 
-  // ---- ANN: LSH variant is deterministic portable arithmetic — full oracle
-  val annLshSql: String =
-    """WITH v AS MATERIALIZED (
+  // ---- ANN: LSH arithmetic is deterministic and portable — full oracles
+  /** CTE chain ending in `sig(vec_id, vec, s)`: the 8-plane random-
+    * hyperplane signature of every embedding, from first principles. */
+  val lshSigCtes: String =
+    """v AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
       |),
       |comp AS MATERIALIZED (
@@ -440,7 +442,10 @@ object Oracles {
       |),
       |sig AS MATERIALIZED (
       |  SELECT v.vec_id, v.vec, sigt.s FROM v JOIN sigt USING (vec_id)
-      |),
+      |)""".stripMargin
+
+  val annLshSql: String =
+    s"""WITH $lshSigCtes,
       |cand AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |         list_cosine_similarity(q.vec, c.vec) AS cos
@@ -453,6 +458,24 @@ object Oracles {
       |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
       |  FROM cand)
       |WHERE rk <= 5""".stripMargin
+
+  /** embedding-cosine near-dups over the augmented table (planted scaled
+    * copies, float-exact in both engines): same-bucket pairs with exact
+    * cosine >= threshold (thresholded unrounded, like ddJaccardSql). */
+  val ddEmbedSql: String =
+    s"""WITH vaug AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |),
+       |${lshSigCtes.replace("FROM embeddings\n", "FROM vaug\n")},
+       |dummy AS (SELECT 1)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+       |FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9""".stripMargin
 
   // ---- connected components over the alias-sharing qid graph --------------
 

@@ -59,6 +59,11 @@ object Pipeline {
       build: => DataFrame): DataFrame = synchronized {
     val k = (spark, sfDir, stage)
     stageCache.getOrElse(k, {
+      // switching scale factors within one session: release the other
+      // working set instead of accumulating cached blocks for the session
+      // lifetime (round-1 leak)
+      val stale = stageCache.keys.filter(o => o._1 == spark && o._2 != sfDir)
+      stale.foreach { o => stageCache(o).unpersist(false); stageCache -= o }
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       stageCache += k -> df
       df

@@ -17,9 +17,11 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$table.parquet")
 
   /** Flagship query on sf=0.001: the full annotate pipeline (mention
-    * extraction -> candidate ranking -> context scoring -> best link). */
+    * extraction -> candidate ranking -> similarity graph -> feature
+    * propagation -> SVM scoring -> best link) under the frozen NON-TRIVIAL
+    * context model (Scoring.ctxModel). */
   def entry(spark: SparkSession): DataFrame =
-    Pipeline.annotate(spark, "/root/testdata/sf0.001")
+    Pipeline.annotateCtx(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational coverage over the TPC-H-ish star ----------------------
@@ -162,6 +164,12 @@ object SparkEntry {
         graft.dedup.Dedup.minhashCandidates(docs), 0.5)
     }),
 
+    "dd_embed" -> ((s, dir) =>
+      // embedding-cosine near-dup: LSH buckets -> exact cosine verify,
+      // over the deterministically-augmented embeddings (planted dups)
+      graft.sim.Ann.embedNearDups(
+        graft.sim.Ann.augmentEmbeddings(read(s, dir, "embeddings")))),
+
     // ---- similarity search --------------------------------------------------
     "ann_topk" -> ((s, dir) =>
       graft.sim.Ann.bruteForceTopK(read(s, dir, "embeddings"))),
@@ -252,6 +260,7 @@ object SparkEntry {
     "dd_minhash" -> Oracles.ddMinhashSql,
     "dd_simhash" -> Oracles.ddSimhashSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
+    "dd_embed" -> Oracles.ddEmbedSql,
     "ann_topk" -> Oracles.annTopkSql,
     "ts_langid" -> Oracles.tsLangidSql,
     "ts_quality" -> Oracles.tsQualitySql,

@@ -62,6 +62,26 @@ object Scoring {
       -0.3)
   }
 
+  /** Model sink: persist a frozen SvmModel as a one-row parquet table
+    * (weights/mean/scale arrays + intercept) — the engine's equivalent of
+    * the reference's pickled classifier (classifier.py:64-71). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, m: SvmModel,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((m.weights.toSeq, m.mean.toSeq, m.scale.toSeq, m.intercept))
+      .toDF("weights", "mean", "scale", "intercept")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): SvmModel = {
+    val r = spark.read.parquet(path).head()
+    SvmModel(
+      r.getAs[scala.collection.Seq[Double]]("weights").toArray,
+      r.getAs[scala.collection.Seq[Double]]("mean").toArray,
+      r.getAs[scala.collection.Seq[Double]]("scale").toArray,
+      r.getDouble(r.fieldIndex("intercept")))
+  }
+
   /** tag key column: identifies a (mention-span, qid) pair within a doc. */
   private def tagKeyCols(prefix: String): Seq[Column] =
     Seq(col(s"${prefix}start"), col(s"${prefix}end"), col(s"${prefix}qid"))

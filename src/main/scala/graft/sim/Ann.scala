@@ -65,6 +65,36 @@ object Ann {
     }.reduce(_ + _)
   }
 
+  /** Deterministic near-dup plants for the embeddings table (the synthetic
+    * corpus has no natural near-identical vectors): every 100th vector gets
+    * a scaled copy (x1.5, float-exact in both engines), id +10^6 — same LSH
+    * bucket, cosine = 1.0. Mirrors Dedup.augment for text. */
+  def augmentEmbeddings(embeddings: DataFrame): DataFrame = {
+    val variant = embeddings.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, v -> cast(v * cast(1.5 as float) as float))")
+          .as("embedding"))
+    embeddings.select(col("vec_id"), col("embedding")).unionByName(variant)
+  }
+
+  /** Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    * generation + exact cosine verify >= threshold — the embedding
+    * analogue of minhash+LSH+jaccard-verify. Linear shuffle on the bucket
+    * key, no all-pairs scan. */
+  def embedNearDups(embeddings: DataFrame, threshold: Double = 0.9,
+      planes: Int = 8): DataFrame = {
+    val withSig = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("vec"))
+      .withColumn("sig", lshSignature(col("vec"), planes))
+    val a = withSig.select(col("vec_id").as("id1"), col("vec").as("v1"), col("sig"))
+    val b = withSig.select(col("vec_id").as("id2"), col("vec").as("v2"),
+      col("sig").as("sig2"))
+    a.join(b, col("sig") === col("sig2") && col("id1") < col("id2"))
+      .withColumn("cos_raw", cosine(col("v1"), col("v2")))
+      .filter(col("cos_raw") >= lit(threshold))
+      .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN: signature equi-join for candidates, exact cosine
     * re-rank inside buckets. Scale path: shuffle on the bucket key only. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100,

@@ -43,27 +43,43 @@ object Pages {
 
   val extractTextUdf = udf(extractText _)
 
+  /** STUB vectorized decoder — the exact call shape a real media library
+    * gets in a mapInPandas-style pipeline: ONE call per batch of binary
+    * buffers, one feature row back per buffer. Deterministic
+    * byte-histogram features stand in for decoder output (no image/audio
+    * libs ship in this container); swapping in a real decoder changes only
+    * this function. */
+  def decodeBatch(batch: Array[Array[Byte]], dim: Int): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](batch.length, dim)
+    var r = 0
+    while (r < batch.length) {
+      val bytes = batch(r)
+      val feats = out(r)
+      var i = 0
+      while (i < bytes.length) { feats((bytes(i) & 0x7f) % dim) += 1.0; i += 1 }
+      val n = math.max(1.0, bytes.length.toDouble)
+      var k = 0
+      while (k < dim) { feats(k) /= n; k += 1 }
+      r += 1
+    }
+    out
+  }
+
   /** Multimodal feature extraction over opaque binary columns, batched per
-    * partition (the Scala analogue of mapInPandas: one buffer of rows per
-    * batch, vectorized library call in the middle). The actual media decode
-    * is STUBBED deterministically (no image/audio libs in this container):
-    * byte-histogram "features" stand in for the decoder output while the
-    * Spark-side contract — schema, batching, partitioning — is real. */
-  def extractFeatures(pages: DataFrame, dim: Int = 8): DataFrame = {
+    * partition (the Scala analogue of mapInPandas): rows are buffered into
+    * batches of 64 and the decoder is invoked ONCE PER BATCH with the whole
+    * buffer array — the real vectorized-UDF contract, not a per-row loop
+    * dressed up in `grouped`. */
+  def extractFeatures(pages: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val in = pages.select(col("url"), col("html")).as[(String, Array[Byte])]
     in.mapPartitions { it =>
-      it.grouped(64).flatMap { batch => // batch shape: the vectorized call
-        batch.map { case (url, bytes) =>
-          // STUB DECODE: real deployment calls the media decoder here
-          val feats = new Array[Double](dim)
-          var i = 0
-          while (i < bytes.length) { feats(bytes(i) & 0x7f match {
-            case b => b % dim
-          }) += 1.0; i += 1 }
-          val n = math.max(1.0, bytes.length.toDouble)
-          (url, bytes.length.toLong, feats.map(f => f / n))
+      it.grouped(batchSize).flatMap { batch =>
+        val arr = batch.toArray
+        val feats = decodeBatch(arr.map(_._2), dim) // ONE call per batch
+        arr.indices.iterator.map { i =>
+          (arr(i)._1, arr(i)._2.length.toLong, feats(i))
         }
       }
     }.toDF("url", "n_bytes", "features")

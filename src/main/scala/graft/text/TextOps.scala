@@ -132,6 +132,50 @@ object TextOps {
     out.result()
   }
 
+  // --------------------------------------------------------------------
+  // Analyzer VARIANTS (the reference ships three Solr configsets with
+  // different `tag` analyzers):
+  //  - "tapioca"      Classic -> possessive -> fold, case-SENSITIVE
+  //                   (configsets/tapioca/conf/managed-schema:63-75)
+  //  - "affiliations" Standard -> possessive -> fold -> LOWERCASE
+  //                   (configsets/affiliations/conf/managed-schema:63-77)
+  //  - "twitter"      Twitter tokenizer (@mention/#hashtag kept as one
+  //                   token) -> lowercase -> possessive -> fold
+  //                   (configsets/twitter/conf/managed-schema:63-78; the
+  //                   upstream tokenizer ships only as a binary
+  //                   lucene-twitter jar, so this is a documented
+  //                   deterministic approximation of its behavior)
+  // --------------------------------------------------------------------
+  private val twitterTokenRe =
+    Pattern.compile("[@#]?[\\p{L}\\p{N}_]+(?:['’.][\\p{L}\\p{N}_]+)*")
+
+  def normTokenFor(analyzer: String, tok: String): String = analyzer match {
+    case "tapioca" => normToken(tok)
+    case "affiliations" => asciiFold(stripPossessive(tok)).toLowerCase
+    case "twitter" => asciiFold(stripPossessive(tok.toLowerCase))
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+
+  def tokenizeWithOffsetsFor(analyzer: String, text: String): IndexedSeq[Tok] = {
+    if (analyzer == "tapioca" || analyzer == "affiliations") {
+      val m = tokenRe.matcher(text)
+      val out = IndexedSeq.newBuilder[Tok]
+      while (m.find()) {
+        val raw = m.group()
+        out += Tok(raw, normTokenFor(analyzer, raw), m.start(), m.end())
+      }
+      out.result()
+    } else {
+      val m = twitterTokenRe.matcher(text)
+      val out = IndexedSeq.newBuilder[Tok]
+      while (m.find()) {
+        val raw = m.group()
+        out += Tok(raw, normTokenFor(analyzer, raw), m.start(), m.end())
+      }
+      out.result()
+    }
+  }
+
   /** All token n-grams (1..maxN) as candidate spans; blocking keys are
     * normalized tokens joined by a single space. This is the Spark-side
     * replacement for the Solr FST dictionary automaton

@@ -64,4 +64,18 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("analyzer variants: tapioca case-sensitive, affiliations lowercase, twitter @#") {
+    import graft.text.TextOps
+    // tapioca (managed-schema:63-75): NO lowercase
+    assert(TextOps.tokenizeWithOffsetsFor("tapioca", "IBM's Café").map(_.norm) ==
+      Seq("IBM", "Cafe"))
+    // affiliations (managed-schema:63-77): lowercase after fold
+    assert(TextOps.tokenizeWithOffsetsFor("affiliations", "IBM's Café").map(_.norm) ==
+      Seq("ibm", "cafe"))
+    // twitter: @mentions/#hashtags survive as single lowercase tokens
+    val tw = TextOps.tokenizeWithOffsetsFor("twitter", "@OpenTapioca rocks #NLP")
+    assert(tw.map(_.norm) == Seq("@opentapioca", "rocks", "#nlp"))
+    assert(tw.map(t => (t.start, t.end)) == Seq((0, 12), (13, 18), (19, 23)))
+  }
 }

@@ -43,6 +43,15 @@ class TrainerSpec extends AnyFunSuite {
     val mergeBest = best.filter(col("surface") === "merge")
       .select("best_qid").distinct().as[String].collect().toSet
     assert(mergeBest == Set("Q8"))
+
+    // model sink: save as a parquet table, load back, serve identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_svm").toString + "/svm"
+    Scoring.saveModel(spark, model, dir)
+    val loaded = Scoring.loadModel(spark, dir)
+    assert(loaded.weights.toSeq == model.weights.toSeq)
+    assert(loaded.mean.toSeq == model.mean.toSeq)
+    assert(loaded.scale.toSeq == model.scale.toSeq)
+    assert(loaded.intercept == model.intercept)
   }
 
   test("evaluate matches reference P/R/F1 arithmetic on a crafted case") {
