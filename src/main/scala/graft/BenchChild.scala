@@ -50,7 +50,7 @@ object BenchChild {
 
   /** Print any stage slower than `thresholdMs` (diagnosis: which stage eats
     * a slow trial). Enabled with SPARK_BENCH_STAGELOG=1. */
-  private def addStageLogger(spark: SparkSession, thresholdMs: Long = 3000): Unit = {
+  private[graft] def addStageLogger(spark: SparkSession, thresholdMs: Long = 3000): Unit = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {

@@ -49,11 +49,80 @@ object Pairs {
     *      broadcast them back.
     *
     * The input must have a unique `mention_id` within each block (ids are
-    * globally unique here). Eagerly localCheckpoints the range-partitioned
-    * frame: the sampled range boundaries must be pinned so the counts job
-    * and the ranking job see one consistent partition assignment.
+    * globally unique here).
+    *
+    * Materialization: the input and the range-partitioned frame are each
+    * written ONCE to a scratch parquet snapshot and read back (the
+    * north_rule's stage-checkpoint pattern). Round-2 used
+    * persist + localCheckpoint instead, and that was the engine's
+    * anti-scaling pathology: under AQE the range-sampling job, the shuffle
+    * map stage and the eager-checkpoint job each raced to build the same
+    * cached blocks, recomputing the whole upstream (annotate!) a
+    * nondeterministic number of times — thread dumps at local[16] showed
+    * 32 tasks re-running MapGroupsExec + columnar cache build inside the
+    * "localCheckpoint" stage, 150 s of real work ballooning to
+    * 735-3449 s CPU. A committed file snapshot has none of those races:
+    * upstream executes exactly once, the sampling job reads parquet, and
+    * the pid column is pinned as data, deterministic across every
+    * downstream job. This is also the plan that survives executor loss on
+    * a real cluster (localCheckpoint does not).
     */
   private[graft] def blockSeq(m0: DataFrame, numParts: Int): DataFrame = {
+    val spark = m0.sparkSession
+    val dir = scratchDir(spark)
+    m0.write.mode("overwrite").parquet(s"$dir/m")
+    spark.read.parquet(s"$dir/m")
+      .repartitionByRange(numParts, col("block_key"), col("mention_id"))
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$dir/part")
+    val part = spark.read.parquet(s"$dir/part")
+    val cnts = part.groupBy("pid", "block_key").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy("block_key").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("off", sum(col("cnt")).over(wOff))
+      .filter(col("off").isNotNull && col("off") > lit(0L))
+      .select(col("pid"), col("block_key"), col("off"))
+    val wLocal = Window.partitionBy("pid", "block_key").orderBy("mention_id")
+    part
+      .withColumn("rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offs), Seq("pid", "block_key"), "left")
+      .withColumn("seq", coalesce(col("off"), lit(0L)) + col("rn"))
+      .drop("pid", "rn", "off")
+  }
+
+  /** Per-call scratch directory for stage snapshots, on the Spark local
+    * dir (tmpfs on this box). Unique per call: a lazily-consumed frame
+    * from a previous call must never see its files overwritten. */
+  private def scratchDir(spark: org.apache.spark.sql.SparkSession): String = {
+    val base = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft-stage/${java.util.UUID.randomUUID()}"
+    cleanupOnExit(dir)
+    dir
+  }
+
+  private lazy val exitCleanup: scala.collection.mutable.Buffer[String] = {
+    val dirs = scala.collection.mutable.Buffer.empty[String]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+    dirs
+  }
+
+  private def cleanupOnExit(dir: String): Unit =
+    exitCleanup.synchronized { exitCleanup += dir; () }
+
+  /** Round-2 implementation of blockSeq (persist + eager localCheckpoint).
+    * Kept as a probe/regression target only — see blockSeq's scaladoc for
+    * why it anti-scales under AQE. */
+  private[graft] def blockSeqCheckpoint(m0: DataFrame, numParts: Int): DataFrame = {
     // repartitionByRange runs a SEPARATE range-sampling job over its input
     // before the shuffle: without this persist the entire upstream pipeline
     // (annotate!) executes twice per call
@@ -82,7 +151,8 @@ object Pairs {
     * Input: linked mentions (doc_id, start, end, surface, norm_key,
     * best_qid). Output: one row per pair with surface similarities and the
     * same_entity decision (= linked entity agreement). */
-  def candidatePairs(mentions: DataFrame, windowSize: Int = WindowSize): DataFrame = {
+  def candidatePairs(mentions: DataFrame, windowSize: Int = WindowSize,
+      seqImpl: (DataFrame, Int) => DataFrame = blockSeq): DataFrame = {
     val spark = mentions.sparkSession
     val m = mentions
       .withColumn("mention_id", mentionIdCol)
@@ -91,7 +161,7 @@ object Pairs {
       // "sort merge join" variants), the realistic record-linkage setup
       .withColumn("block_key", split(col("norm_key"), " ").getItem(0))
       .select("block_key", "mention_id", "surface", "best_qid")
-    val ranked = blockSeq(m, spark.sparkContext.defaultParallelism * 2)
+    val ranked = seqImpl(m, spark.sparkContext.defaultParallelism * 2)
     val left = ranked.select(
       col("block_key"), col("seq"),
       col("mention_id").as("id1"), col("surface").as("surface1"),
