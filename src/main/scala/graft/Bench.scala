@@ -10,27 +10,36 @@ import scala.sys.process._
   * (graft.BenchChild) because sequential Spark sessions in one JVM degrade
   * (observed 15x slowdown on the second session in this sandbox).
   *
-  * Round-1 lessons baked in (VERDICT.md "What's wrong #3"):
-  *   - ALL children get the SAME fixed large heap (SPARK_BENCH_CHILD_MEM,
-  *     default 48g) instead of inheriting the sbt driver's -Xmx8g — an
-  *     8g heap at 32 cores measured GC, not the engine;
-  *   - >= 3 timed trials per configuration inside one warmed session;
-  *     the reported number is the MEDIAN, and the raw trials + GC seconds
-  *     are published in the JSON so noise is visible, not hidden.
+  * Round-2's protocol timed out in the driver (rc=124, zero numbers): five
+  * children each rebuilt the full artifact set and nothing was emitted
+  * until everything finished. Round-3 protocol:
   *
-  * Measurements:
-  *  1. throughput scaling (BASELINE.json north_rule: "N and 4N"):
-  *     the fused page pipeline end-to-end on the same replicated corpus at
-  *     local[4] vs local[16] (all physical cores; this box exposes 32
-  *     hyperthreads over 16 physical cores, so 8->32 measures SMT, not
-  *     scaling) AND at local[8] vs local[32] for reference. Efficiency =
-  *     (qps_high / qps_low) / (high/low).
-  *  2. per-driver-query wall times at the full machine width.
-  *
-  * Offline artifacts (dictionary/BOW/PageRank) build per child and are
-  * excluded from the throughput window (the reference's offline indexing).
+  *   - artifacts are built ONCE in a prep child and snapshotted to parquet
+  *     (Pipeline.saveArtifacts); every measurement child loads them;
+  *   - the default scale matrix is the designated N/4N pair only —
+  *     local[8] vs local[32] (BASELINE.md gate row; this box exposes 32
+  *     full cores, lscpu: 32 cores, 1 thread/core) — 4/16 opt-in via
+  *     SPARK_BENCH_CONFIGS;
+  *   - child output is parsed as it streams, and a WALL-CLOCK DEADLINE
+  *     (SPARK_BENCH_DEADLINE_SECS, default 2100) kills the current child
+  *     and emits the JSON line from whatever completed: a timeout degrades
+  *     the evidence instead of destroying it;
+  *   - >= 3 timed trials inside one warmed session; the reported number is
+  *     the MEDIAN and the raw trials + GC seconds are published so spread
+  *     is visible (this VM shows occasional whole-machine stalls).
   */
 object Bench {
+
+  private val t0 = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - t0) / 1e9
+  private lazy val deadline =
+    sys.env.getOrElse("SPARK_BENCH_DEADLINE_SECS", "2100").toDouble
+  private def remaining: Double = deadline - elapsed
+
+  private def benchLocalDir: String =
+    sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark") + "/bench"
+
+  private def artifactsDir: String = benchLocalDir + "-artifacts"
 
   private def childCmd(mode: String, cores: Int): Seq[String] = {
     val java = System.getProperty("java.home") + "/bin/java"
@@ -39,16 +48,28 @@ object Bench {
       .toSeq
     val heap = sys.env.getOrElse("SPARK_BENCH_CHILD_MEM", "48g")
     Seq(java) ++ inherited ++ Seq(s"-Xmx$heap",
+      s"-DSPARK_LOCAL_DIRS_OVERRIDE=$benchLocalDir",
+      s"-DSPARK_BENCH_ARTIFACTS=$artifactsDir",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchChild", mode, cores.toString)
   }
 
-  private def runChild(mode: String, cores: Int): Seq[String] = {
-    val out = new StringBuilder
-    val logger = ProcessLogger(line => out.append(line).append('\n'), _ => ())
-    val code = Process(childCmd(mode, cores)).!(logger)
-    require(code == 0, s"bench child $mode/$cores failed (exit $code)")
-    out.toString.linesIterator.toSeq
+  /** Run a child, streaming stdout lines into `out`; kill it if the global
+    * deadline passes. Returns (exitOk, lines-so-far). */
+  private def runChild(mode: String, cores: Int): (Boolean, Seq[String]) = {
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val logger = ProcessLogger(l => { out.add(l); () }, _ => ())
+    val p = Process(childCmd(mode, cores)).run(logger)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val waiter = new Thread(() => { p.exitValue(); done.set(true) })
+    waiter.setDaemon(true)
+    waiter.start()
+    var killed = false
+    while (!done.get && !killed) {
+      if (remaining <= 0) { killed = true; p.destroy() }
+      else Thread.sleep(500)
+    }
+    (!killed && p.exitValue() == 0, out.iterator().asScala.toSeq)
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -58,66 +79,79 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  final case class ScaleResult(pages: Long, trials: Seq[Double], gcSecs: Seq[Double]) {
+  final case class ScaleResult(pages: Long, trials: Seq[Double],
+      gcSecs: Seq[Double], stealSecs: Seq[Double]) {
     def secs: Double = median(trials)
-    def gc: Double = median(gcSecs)
   }
 
-  private def scaleRun(cores: Int): ScaleResult = {
-    val lines = runChild("scale", cores)
-    val pages = lines.find(_.startsWith("SCALE "))
-      .map(_.split(" ")(2).toLong)
-      .getOrElse(sys.error(s"no SCALE line from child $cores"))
-    val trials = lines.filter(_.startsWith("TRIAL ")).map(_.split(" "))
-    require(trials.nonEmpty, s"no TRIAL lines from child $cores")
-    ScaleResult(pages, trials.map(_(2).toDouble), trials.map(_(3).toDouble))
+  private def scaleRun(cores: Int): Option[ScaleResult] = {
+    val (_, lines) = runChild("scale", cores)
+    for {
+      pages <- lines.find(_.startsWith("SCALE ")).map(_.split(" ")(2).toLong)
+      trials = lines.filter(_.startsWith("TRIAL ")).map(_.split(" "))
+      if trials.nonEmpty
+    } yield ScaleResult(pages, trials.map(_(2).toDouble), trials.map(_(3).toDouble),
+      trials.map(t => if (t.length > 5) t(5).toDouble else 0.0))
   }
 
-  /** Stale per-app scratch dirs from killed runs accumulate in the tmpfs
-    * local dir (575 MB after round 1) — clear it before measuring. */
+  /** Stale per-app scratch from killed runs accumulates in tmpfs; wipe the
+    * bench-NAMESPACED dir only (a concurrent test session's shuffle files
+    * in the shared default dir are left alone). */
   private def cleanLocalDir(): Unit = {
-    val dir = new java.io.File(
-      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach(rm)
+    rm(new java.io.File(benchLocalDir))
+    rm(new java.io.File(artifactsDir))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
     val full = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
     cleanLocalDir()
 
-    val r4 = scaleRun(4)
-    val r16 = scaleRun(16)
-    val r8 = scaleRun(8)
-    val r32 = scaleRun(full)
-    val pages = r4.pages
+    // offline stage: build + snapshot artifacts once (untimed, the
+    // reference's indexing phase)
+    val (prepOk, _) = runChild("prep", full)
+    require(prepOk || remaining <= 0, "artifact prep child failed")
 
-    val qps4 = pages / r4.secs
-    val qps16 = pages / r16.secs
-    val qps8 = pages / r8.secs
-    val qps32 = pages / r32.secs
-    val eff416 = (qps16 / qps4) / 4.0
-    val eff832 = (qps32 / qps8) / (full / 8.0)
+    val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
+    for (c <- configs if remaining > 0)
+      scaleRun(c).foreach(r => results += c -> r)
 
-    val queryTimes = runChild("queries", full)
-      .filter(_.startsWith("QT "))
-      .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
+    val queryTimes =
+      if (remaining > 0)
+        runChild("queries", full)._2
+          .filter(_.startsWith("QT "))
+          .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
+      else Seq.empty
+
+    val pages = results.values.headOption.map(_.pages).getOrElse(0L)
+    def qps(c: Int): Option[Double] = results.get(c).map(r => r.pages / r.secs)
+    val effPairs = for {
+      lo <- configs.sorted.headOption; hi <- configs.sorted.lastOption
+      if lo < hi
+      qlo <- qps(lo); qhi <- qps(hi)
+    } yield (lo, hi, (qhi / qlo) / (hi.toDouble / lo))
+
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
-
     def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val trialsJson = Seq(4 -> r4, 16 -> r16, 8 -> r8, full -> r32)
-      .map { case (c, r) =>
-        s""""pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)}"""
-      }.mkString(",")
+    val perConfig = results.map { case (c, r) =>
+      f""""pipeline_secs_$c":${r.secs}%.3f,"pages_per_sec_$c":${r.pages / r.secs}%.1f,"pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)},"host_steal_secs_$c":${arr(r.stealSecs)}"""
+    }.mkString(",")
+    val eff = effPairs
+      .map { case (lo, hi, e) =>
+        f""""scaling_pair":"$lo/$hi","scaling_efficiency":$e%.3f,"""
+      }.getOrElse("")
+    val incomplete = if (remaining <= 0) """"deadline_hit":true,""" else ""
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_pages":$pages%d,"replicate":$replicate%d,"pipeline_secs_4":${r4.secs}%.3f,"pipeline_secs_16":${r16.secs}%.3f,"pipeline_secs_8":${r8.secs}%.3f,"pipeline_secs_32":${r32.secs}%.3f,"pages_per_sec_4":$qps4%.1f,"pages_per_sec_16":$qps16%.1f,"pages_per_sec_8":$qps8%.1f,"pages_per_sec_32":$qps32%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_8_32":$eff832%.3f,$trialsJson%s}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_pages":$pages%d,"replicate":$replicate%d,$eff%s$incomplete%s$perConfig%s}""")
   }
 }

@@ -8,11 +8,20 @@ import org.apache.spark.sql.functions._
   * (observed 15x on the second session), so every measurement is isolated.
   *
   * Modes:
-  *   scale <cores>   — one warmed end-to-end pipeline run on the replicated
-  *                     corpus; prints "SCALE cores pages secs"
+  *   prep <cores>    — build the offline artifacts once and snapshot them
+  *                     to parquet (Pipeline.saveArtifacts)
+  *   scale <cores>   — warmed end-to-end pipeline trials on the replicated
+  *                     corpus; prints "SCALE cores pages" then one
+  *                     "TRIAL cores secs gcSecs i" per trial (streamed, so
+  *                     a deadline kill keeps completed trials)
   *   queries <cores> — per-driver-query wall times; prints "QT name secs"
   */
 object BenchChild {
+
+  private def localDir: String =
+    Option(System.getProperty("SPARK_LOCAL_DIRS_OVERRIDE"))
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse("/dev/shm/graft-spark")
 
   def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -22,7 +31,7 @@ object BenchChild {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -38,15 +47,17 @@ object BenchChild {
 
   def runPipeline(docs: DataFrame, a: Pipeline.Artifacts): Long = {
     import graft.link.{FusedAnnotate, Pairs, Scoring}
-    val pairs = Pairs.candidatePairs(
+    Pairs.candidatePairs(
       FusedAnnotate.annotate(docs, a, Scoring.Params(), Scoring.defaultModel()))
-    val n = pairs.count()
-    // free the blockSeq checkpoint blocks NOW: leaving them to the lazy
-    // weak-ref ContextCleaner lets repeated runs fill the block manager
-    // (observed 4-17x degradation on later same-session trials)
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pairs)
-    n
+      .count()
   }
+
+  /** Artifacts: load the prep child's snapshot if present, else build. */
+  private def artifacts(spark: SparkSession): Pipeline.Artifacts =
+    Option(System.getProperty("SPARK_BENCH_ARTIFACTS"))
+      .filter(d => new java.io.File(s"$d/meta").isDirectory)
+      .map(d => Pipeline.loadArtifacts(spark, d))
+      .getOrElse(Pipeline.buildArtifacts(spark))
 
   /** Print any stage slower than `thresholdMs` (diagnosis: which stage eats
     * a slow trial). Enabled with SPARK_BENCH_STAGELOG=1. */
@@ -79,17 +90,22 @@ object BenchChild {
     if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1")) addStageLogger(spark)
 
     mode match {
+      case "prep" =>
+        val dir = Option(System.getProperty("SPARK_BENCH_ARTIFACTS"))
+          .getOrElse(sys.error("prep mode needs -DSPARK_BENCH_ARTIFACTS"))
+        Pipeline.saveArtifacts(Pipeline.buildArtifacts(spark), dir)
+        println("PREP done")
       case "scale" =>
-        val a = Pipeline.buildArtifacts(spark) // offline stage, untimed
+        val a = artifacts(spark) // offline stage, untimed
         val docs = benchDocs(spark, sfDir, replicate)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
-        // TWO FULL untimed warmup runs: the first pays JIT/C2 compilation
-        // and cache materialization (3-4x same-stage CPU observed); the
-        // run right after it still absorbs the post-warmup weak-ref
-        // cleanup storm (3-10x observed on the first timed trial with a
-        // single warmup). Steady state starts at the third execution.
-        val warmups = sys.env.getOrElse("SPARK_BENCH_WARMUPS", "2").toInt
+        println(s"SCALE $cores $nPages")
+        // FULL untimed warmup run(s): the first execution pays JIT/C2
+        // compilation (3-4x same-stage CPU observed); steady state from
+        // the second. TRIAL lines stream so a deadline kill loses only
+        // the in-flight trial.
+        val warmups = sys.env.getOrElse("SPARK_BENCH_WARMUPS", "1").toInt
         for (_ <- 1 to warmups) {
           runPipeline(docs, a)
           System.gc()
@@ -100,22 +116,36 @@ object BenchChild {
           java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
             .asScala.map(_.getCollectionTime).sum / 1e3
         }
+        // host steal/system time from /proc/stat (jiffies @ USER_HZ=100):
+        // this VM's hypervisor steals cycles nondeterministically
+        // (observed 2-10x same-config trial spread with flat GC); publishing
+        // the per-trial steal makes host noise distinguishable from engine
+        // regressions in the JSON.
+        def cpuJiffies: (Double, Double) = {
+          val f = scala.io.Source.fromFile("/proc/stat")
+          try {
+            val p = f.getLines().next().trim.split("\\s+")
+            (p(8).toDouble / 100.0, p(3).toDouble / 100.0) // (steal, system)
+          } catch { case _: Throwable => (0.0, 0.0) } finally f.close()
+        }
         val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
-        println(s"SCALE $cores $nPages")
         for (t <- 1 to trials) {
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
           // ContextCleaner before timing, not during the next trial
           System.gc()
           Thread.sleep(1000)
           val gc0 = gcSecs
+          val (steal0, sys0) = cpuJiffies
           val t0 = System.nanoTime()
           runPipeline(docs, a)
           val secs = (System.nanoTime() - t0) / 1e9
-          println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $t%d")
+          val (steal1, sys1) = cpuJiffies
+          println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $t%d " +
+            f"${steal1 - steal0}%.1f ${sys1 - sys0}%.1f")
         }
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling
-        Pipeline.artifacts(spark) // offline stage (dict/BOW/PageRank), untimed
+        Pipeline.primeArtifacts(spark, artifacts(spark))
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => only.isEmpty || only(n) }
           .foreach { case (name, fn) =>

@@ -18,7 +18,8 @@ object Pipeline {
       dictKeys: DataFrame,
       maxKeyTokens: Int,
       bow: Bow.Model,
-      pagerank: PageRank.Result)
+      pagerank: PageRank.Result,
+      dictCount: Long)
 
   @volatile private var cache: Map[SparkSession, Artifacts] = Map.empty
 
@@ -44,7 +45,48 @@ object Pipeline {
     val pr = PageRank.run(spark, weighted, lastQid)
     pr.ranks.persist().count()
     items.unpersist()
-    Artifacts(dict, keys, maxN, bow, pr)
+    Artifacts(dict, keys, maxN, bow, pr, dict.count())
+  }
+
+  /** Persist the offline artifacts as parquet tables (the reference's
+    * "index once, serve many" lifecycle): benchmark children and repeated
+    * sessions load them instead of re-running the dump build. */
+  def saveArtifacts(a: Artifacts, dir: String): Unit = {
+    val spark = a.entityDict.sparkSession
+    import spark.implicits._
+    a.entityDict.write.mode("overwrite").parquet(s"$dir/entity_dict")
+    a.dictKeys.write.mode("overwrite").parquet(s"$dir/dict_keys")
+    a.pagerank.ranks.write.mode("overwrite").parquet(s"$dir/pagerank")
+    a.bow.wordCount.toSeq.toDF("word", "count")
+      .write.mode("overwrite").parquet(s"$dir/bow")
+    Seq((a.maxKeyTokens, a.bow.totalCount, a.pagerank.background,
+      a.pagerank.n, a.pagerank.lastQid, a.dictCount))
+      .toDF("max_key_tokens", "bow_total", "pr_background", "pr_n",
+        "pr_last_qid", "dict_count")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadArtifacts(spark: SparkSession, dir: String): Artifacts = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val bowMap = spark.read.parquet(s"$dir/bow").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Artifacts(
+      entityDict = spark.read.parquet(s"$dir/entity_dict"),
+      dictKeys = spark.read.parquet(s"$dir/dict_keys"),
+      maxKeyTokens = meta.getAs[Int]("max_key_tokens"),
+      bow = Bow.Model(bowMap, meta.getAs[Long]("bow_total")),
+      pagerank = PageRank.Result(
+        ranks = spark.read.parquet(s"$dir/pagerank"),
+        background = meta.getAs[Double]("pr_background"),
+        n = meta.getAs[Long]("pr_n"),
+        lastQid = meta.getAs[Long]("pr_last_qid")),
+      dictCount = meta.getAs[Long]("dict_count"))
+  }
+
+  /** Pre-seed the per-session artifact cache (benchmark children load
+    * artifacts from parquet instead of rebuilding). */
+  def primeArtifacts(spark: SparkSession, a: Artifacts): Unit = synchronized {
+    cache += spark -> a
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

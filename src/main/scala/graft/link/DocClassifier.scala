@@ -61,8 +61,30 @@ object DocClassifier {
   def scoreDoc(tags: Array[TagRow], params: Scoring.Params,
       model: Scoring.SvmModel): Array[Double] = {
     val n = tags.length
-    val sim = simFn(params)
-    val edgeSets = tags.map(_.edges.iterator.map(_.toLong).toSet)
+    // direct_link (the default + served similarity) gets an allocation-free
+    // pair function: sorted int arrays + binary search instead of boxed
+    // Set[Long] per probe — this is the O(tags^2) inner loop of the engine
+    val simAt: (Int, Int) => Double = params.similarity match {
+      case "direct_link" =>
+        val edgeArr = tags.map { t =>
+          val a = t.edges.toArray
+          java.util.Arrays.sort(a)
+          a
+        }
+        def has(arr: Array[Int], q: Long): Boolean =
+          q >= Int.MinValue && q <= Int.MaxValue &&
+            java.util.Arrays.binarySearch(arr, q.toInt) >= 0
+        (i, j) => {
+          val qa = tags(i).qid_num; val qb = tags(j).qid_num
+          val d1 = if (qa == qb || has(edgeArr(i), qb)) 1.0 else 0.0
+          val d2 = if (qb == qa || has(edgeArr(j), qa)) 1.0 else 0.0
+          d1 + d2
+        }
+      case _ =>
+        val sim = simFn(params)
+        val edgeSets = tags.map(_.edges.iterator.map(_.toLong).toSet)
+        (i, j) => sim(tags(i).qid_num, edgeSets(i), tags(j).qid_num, edgeSets(j))
+    }
     val d = params.maxSimilarityDistance
 
     // similarity lists per tag (compute_similarities): src tag i -> parallel
@@ -81,8 +103,7 @@ object DocClassifier {
         val tj = tags(j)
         val distance = math.max(ti.start - tj.end, tj.start - ti.end)
         if (!(tj.start == ti.start && tj.end == ti.end) && distance <= d) {
-          val s = (params.similaritySmoothing +
-            sim(ti.qid_num, edgeSets(i), tj.qid_num, edgeSets(j))) *
+          val s = (params.similaritySmoothing + simAt(i, j)) *
             (d - distance).toDouble / d
           if (s > 0.0) { tmpIdx(m) = j; tmpW(m) = s; m += 1 }
         }

@@ -77,54 +77,125 @@ object FusedAnnotate {
     * context classifier -> per-mention argmax. Shared by both strategies. */
   private def processDoc(docId: Long, all: Array[FeatHit], bm: Bow.Model,
       params: Scoring.Params, model: Scoring.SvmModel): Iterator[DocClassifier.BestLink] = {
-    // distinct spans in document order (Solr returns spans ordered)
-    val bySpan = all.groupBy(h => (h.start, h.end))
-    val spansSorted = bySpan.keys.toArray.sortInPlaceBy(identity)
-    // NO_SUB: drop spans strictly contained in another matched span
-    val kept = spansSorted.filter { case (s, e) =>
-      !spansSorted.exists { case (s2, e2) =>
-        s2 <= s && e <= e2 && !(s2 == s && e2 == e)
+    // Flat-array rewrite of the per-document tagger stage: the original
+    // groupBy/exists version allocated a HashMap + per-span arrays and ran
+    // an O(spans^2) containment scan; at 32 threads the allocation traffic
+    // alone capped parallel scaling on this box. Semantics are pinned equal
+    // to the staged declarative path by FusedSpec.
+    if (all.isEmpty) return Iterator.empty
+    // sort hits by (start, end); contiguous runs are the distinct spans in
+    // document order (Solr returns spans ordered)
+    java.util.Arrays.sort(all, (a: FeatHit, b: FeatHit) =>
+      if (a.start != b.start) Integer.compare(a.start, b.start)
+      else Integer.compare(a.end, b.end))
+    // span run boundaries
+    val runStart = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < all.length) {
+      if (i == 0 || all(i).start != all(i - 1).start || all(i).end != all(i - 1).end)
+        runStart += i
+      i += 1
+    }
+    val nSpans = runStart.length
+    // NO_SUB: a span is dropped iff strictly contained in another span.
+    // Walk spans ordered by (start asc, end desc); every candidate
+    // container precedes the contained span in that order, so one running
+    // max over end positions replaces the O(spans^2) exists scan.
+    val order = Array.range(0, nSpans)
+    val spanStart = new Array[Int](nSpans)
+    val spanEnd = new Array[Int](nSpans)
+    i = 0
+    while (i < nSpans) {
+      spanStart(i) = all(runStart(i)).start; spanEnd(i) = all(runStart(i)).end
+      i += 1
+    }
+    val boxedOrder = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxedOrder, (a: Integer, b: Integer) =>
+      if (spanStart(a) != spanStart(b)) Integer.compare(spanStart(a), spanStart(b))
+      else Integer.compare(spanEnd(b), spanEnd(a)))
+    val contained = new Array[Boolean](nSpans)
+    var maxEnd = Int.MinValue
+    i = 0
+    while (i < nSpans) {
+      val k = boxedOrder(i).intValue
+      if (spanEnd(k) <= maxEnd) contained(k) = true
+      else maxEnd = spanEnd(k)
+      i += 1
+    }
+    // tagsLimit cap (document order) THEN prune filter (tagger.py:71-89)
+    val keptIdx = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var taken = 0
+    i = 0
+    while (i < nSpans && taken < Mentions.TagsLimitPerDoc) {
+      if (!contained(i)) {
+        taken += 1
+        if (!TextOps.prunePhrase(all(runStart(i)).surface)) keptIdx += i
+      }
+      i += 1
+    }
+    if (keptIdx.isEmpty) return Iterator.empty
+    // per-mention candidates: dedup by qid (first hit wins), top-10 by
+    // rank desc / qid asc, assembled directly in (start, end, tag_order)
+    // order so the scoring pass needs no re-sort
+    val tags = new scala.collection.mutable.ArrayBuffer[DocClassifier.TagRow](keptIdx.length * 4)
+    keptIdx.foreach { k =>
+      val lo = runStart(k)
+      val hi = if (k + 1 < nSpans) runStart(k + 1) else all.length
+      val surface = all(lo).surface
+      val normKey = all(lo).norm_key
+      val ll = -bm.phraseLL(surface)
+      // dedup qid keeping first occurrence (run is small: <= a few dozen)
+      val uniq = new scala.collection.mutable.ArrayBuffer[FeatHit](hi - lo)
+      var j = lo
+      while (j < hi) {
+        val h = all(j)
+        var seen = false
+        var u = 0
+        while (u < uniq.length && !seen) { if (uniq(u).qid == h.qid) seen = true; u += 1 }
+        if (!seen) uniq += h
+        j += 1
+      }
+      val byRank = uniq.toArray
+      java.util.Arrays.sort(byRank, (a: FeatHit, b: FeatHit) =>
+        if (a.rank != b.rank) java.lang.Double.compare(b.rank, a.rank)
+        else a.qid.compareTo(b.qid))
+      val top = math.min(byRank.length, Mentions.TopTagsPerMention)
+      var t = 0
+      while (t < top) {
+        val h = byRank(t)
+        tags += DocClassifier.TagRow(docId, spanStart(k), spanEnd(k), surface,
+          normKey, ll, h.qid, h.qid.drop(1).toLong, h.label, h.edges,
+          h.nb_statements, h.nb_sitelinks, h.rank, t + 1)
+        t += 1
       }
     }
-    // tagsLimit cap (document order), prune filter
-    val pruned = kept.take(Mentions.TagsLimitPerDoc).filter { case (s, e) =>
-      !TextOps.prunePhrase(bySpan((s, e)).head.surface)
-    }
-    // per-mention candidates: top-10 by rank desc, qid asc
-    val tags = pruned.flatMap { span =>
-      val hs = bySpan(span)
-      val surface = hs.head.surface
-      val normKey = hs.head.norm_key
-      val ll = -bm.phraseLL(surface)
-      hs.groupBy(_.qid).values.map(_.head).toArray
-        .sortBy(h => (-h.rank, h.qid))
-        .take(Mentions.TopTagsPerMention)
-        .zipWithIndex
-        .map { case (h, i) =>
-          DocClassifier.TagRow(docId, span._1, span._2, surface, normKey,
-            ll, h.qid, h.qid.drop(1).toLong, h.label, h.edges,
-            h.nb_statements, h.nb_sitelinks, h.rank, i + 1)
+    val sorted = tags.toArray
+    val scores = DocClassifier.scoreDoc(sorted, params, model)
+    // per-mention argmax with score > 0; tags are grouped by span and
+    // ordered by tag_order, so the first max in each run wins ties
+    val out = new scala.collection.mutable.ArrayBuffer[DocClassifier.BestLink](nSpans)
+    i = 0
+    while (i < sorted.length) {
+      val s = sorted(i).start; val e = sorted(i).end
+      var hi = i
+      while (hi < sorted.length && sorted(hi).start == s && sorted(hi).end == e) hi += 1
+      var bestI = -1
+      var bestScore = 0.0
+      var j = i
+      while (j < hi) {
+        if (scores(j) > 0.0 && (bestI < 0 || scores(j) > bestScore)) {
+          bestI = j; bestScore = scores(j)
         }
+        j += 1
+      }
+      if (bestI >= 0) {
+        val t = sorted(bestI)
+        out += DocClassifier.BestLink(t.doc_id, t.start, t.end, t.surface,
+          t.norm_key, t.log_likelihood, t.qid, t.label, scores(bestI))
+      }
+      i = hi
     }
-    if (tags.isEmpty) Iterator.empty
-    else {
-      val sorted: Array[DocClassifier.TagRow] =
-        tags.toArray.sortBy(t => (t.start, t.end, t.tag_order))
-      val scores = DocClassifier.scoreDoc(sorted, params, model)
-      sorted.indices
-        .groupBy(i => (sorted(i).start, sorted(i).end))
-        .valuesIterator
-        .flatMap { idxs =>
-          idxs.filter(i => scores(i) > 0.0)
-            .sortBy(i => (-scores(i), sorted(i).tag_order))
-            .headOption
-            .map { i =>
-              val t = sorted(i)
-              DocClassifier.BestLink(t.doc_id, t.start, t.end, t.surface,
-                t.norm_key, t.log_likelihood, t.qid, t.label, scores(i))
-            }
-        }
-    }
+    out.iterator
   }
 
   /** Annotate end-to-end with one shuffle. Returns BestLink rows.
@@ -141,7 +212,7 @@ object FusedAnnotate {
     val useBroadcast = strategy match {
       case "broadcast" => true
       case "join" => false
-      case "auto" => a.entityDict.count() <= BroadcastDictLimit
+      case "auto" => a.dictCount <= BroadcastDictLimit
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")
     }
 

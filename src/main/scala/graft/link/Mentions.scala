@@ -64,11 +64,13 @@ object Mentions {
     * counts are bounded, so the join is an equi-join on doc_id with a tiny
     * quadratic residual. */
   def resolveSpans(matched: DataFrame): DataFrame = {
-    // the distinct span set feeds both sides of the containment anti-join:
-    // persist so the scan->flatMap->join front half runs once
+    // the distinct span set feeds both sides of the containment anti-join;
+    // both sides share the distinct's shuffle, so ReuseExchange runs the
+    // scan->flatMap->join front half once per action — no persist needed
+    // (round 2 persisted here and never released: a session-lifetime leak
+    // per extract() call)
     val spans = matched
       .select("doc_id", "start", "end", "surface", "norm_key").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val container = spans.select(
       col("doc_id").as("c_doc"), col("start").as("c_start"), col("end").as("c_end"))
     val noSub = spans.join(container,

@@ -177,7 +177,9 @@ object Scoring {
     * step in 0..nbSteps (build_feature_vectors_for_doc,
     * classifier.py:262-308). Returns the tags frame with
     * 5*(nbSteps+1) feature columns. */
-  def propagateFeatures(tags: DataFrame, edges: DataFrame, params: Params): DataFrame = {
+  def propagateFeatures(tags: DataFrame, edges: DataFrame, params: Params,
+      caches: scala.collection.mutable.Buffer[DataFrame] = scala.collection.mutable.Buffer.empty
+  ): DataFrame = {
     var feat = tags.select(
       (Seq(col("doc_id"), col("start"), col("end"), col("qid")) ++
         Seq(col("log_likelihood").cast("double").as("f0_0"),
@@ -193,8 +195,12 @@ object Scoring {
     for (step <- 1 to params.nbSteps) {
       // each step reads the previous feat TWICE (propagation join + carry
       // join): persist it or the whole upstream pipeline re-executes
-      // exponentially in nbSteps
+      // exponentially in nbSteps. Every persisted frame is registered in
+      // `caches` so the caller can unpersist after its materialization
+      // (round-2 leaked one frame per step per call; Trainer.crossfit
+      // multiplied that across the whole hyperparameter grid).
       feat = feat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches += feat
       val prev = (0 until 5).map(i => col(s"f${step - 1}_$i"))
       val j = e.join(feat,
         col("e_doc") === feat("doc_id") &&
@@ -232,10 +238,13 @@ object Scoring {
     // tags feeds the similarity self-join (x2), the feature base and the
     // final score join: persist once, or the whole upstream extraction
     // pipeline re-executes for every branch
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
     val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += tags
     val edges = similarityEdges(tags, params)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val feats = propagateFeatures(tags, edges, params)
+    caches += edges
+    val feats = propagateFeatures(tags, edges, params, caches)
     val scored = tags
       .select("doc_id", "start", "end", "surface", "norm_key", "log_likelihood",
         "qid", "label", "tag_order")
@@ -244,11 +253,18 @@ object Scoring {
         Seq("doc_id", "start", "end", "qid"))
     val wMention = Window.partitionBy(col("doc_id"), col("start"), col("end"))
       .orderBy(col("score").desc, col("tag_order"))
-    scored
+    val best = scored
       .withColumn("rn", row_number().over(wMention))
       .filter(col("rn") === lit(1) && col("score") > lit(0.0))
       .select(col("doc_id"), col("start"), col("end"), col("surface"), col("norm_key"),
         col("log_likelihood"),
         col("qid").as("best_qid"), col("label").as("best_label"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small: one row per mention) result while the
+    // intermediates are cached, then free them — round-2 left tags, edges
+    // and one frame per propagation step cached for the session lifetime
+    best.count()
+    caches.foreach(_.unpersist(false))
+    best
   }
 }

@@ -38,8 +38,9 @@ object Trainer {
     val dim = 5 * (params.nbSteps + 1)
     val featCols = (0 to params.nbSteps).flatMap(s => (0 until 5).map(i => s"f${s}_$i"))
 
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
     val edges = Scoring.similarityEdges(tags, params)
-    val feats = Scoring.propagateFeatures(tags, edges, params)
+    val feats = Scoring.propagateFeatures(tags, edges, params, caches)
     val labeled = labelTags(feats, gold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -74,6 +75,7 @@ object Trainer {
       .fit(scaled)
 
     labeled.unpersist()
+    caches.foreach(_.unpersist(false)) // per-step propagation caches
     val sigma = scalerModel.std.toArray.map(s => if (s == 0.0) 1.0 else s)
     Scoring.SvmModel(
       weights = svc.coefficients.toArray,
@@ -109,6 +111,7 @@ object Trainer {
       if (mean > best._2) best = (params, mean)
     }
     val model = train(tags, gold, best._1, c, maxIter)
+    tags.unpersist(false) // grid-wide candidate cache (docid_to_mentions)
     (best._1, best._2, model)
   }
 

@@ -13,13 +13,21 @@ import org.apache.spark.sql.expressions.Window
   *    candidate generation becomes an equi-join on the signature bucket,
   *    then exact re-ranking within buckets only.
   *
-  * Vector math uses zip_with/aggregate higher-order functions in double
-  * precision (codegen'd, no UDFs).
+  * Vector math runs through native codegen'd Catalyst expressions
+  * (graft.functions.VectorOps): round 2 used zip_with/aggregate
+  * higher-order functions, but Catalyst evaluates lambda HOFs interpreted
+  * per element, which made dd_embed the slowest query in the suite. The
+  * HOF formulations are kept below as the differential-test oracle
+  * (VectorOpsSpec pins them bit-equal).
   */
 object Ann {
 
-  /** cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine similarity of two array<double> columns (codegen'd kernel). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
+
+  /** Reference HOF formulation of cosine (interpreted; test oracle only). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
@@ -54,8 +62,13 @@ object Ann {
       lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** random-hyperplane LSH signature: bit b = sign(sum_i v_i * s(b, i)). */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** random-hyperplane LSH signature: bit b = sign(sum_i v_i * s(b, i))
+    * (codegen'd kernel, same sign stream as planeSign). */
+  def lshSignature(vec: Column, planes: Int): Column =
+    graft.functions.VectorOps.rhpSig(vec, planes)
+
+  /** Reference HOF formulation of the signature (test oracle only). */
+  private[graft] def lshSignatureHof(vec: Column, planes: Int): Column = {
     (0 until planes).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

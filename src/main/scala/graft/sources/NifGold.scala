@@ -31,9 +31,26 @@ object NifGold {
   private val IsStringRe = ("(?s)nif:isString\\s+" + Quotes + "(.*?)\\1\\s*[;.]").r
   private val SubjectRe = "(?s)^<([^>]+)>\\s+a\\s".r
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
-      .replace("\\\\", "\\")
+  /** Single left-to-right scan: sequential replace() calls re-interpret
+    * the output of earlier ones (an escaped backslash followed by 'n'
+    * would decode to a newline), so escapes are consumed in one pass. */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out.append('"'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case other => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** Parse one TTL file's content into (contexts, mentions). */
   private[graft] def parseTtl(content: String): (Seq[Context], Seq[GoldMention]) = {

@@ -75,8 +75,12 @@ object EventStream {
     // a micro-batch may contain several revisions of one item (the
     // reference fetches the LATEST state per qid): keep max-revid per id so
     // batch granularity cannot change the outcome
+    // deterministic tiebreaker on equal lastrevid (two same-revid rows in
+    // one micro-batch): order by the serialized item content so row_number
+    // cannot pick an arbitrary winner
     val wLatest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("it.id")).orderBy(col("it.lastrevid").desc)
+      .partitionBy(col("it.id"))
+      .orderBy(col("it.lastrevid").desc, to_json(col("it")).desc)
     val items = all.withColumn("rn", row_number().over(wLatest))
       .filter(col("rn") === 1).drop("rn")
     val closures = DictSpec.profile.restrictTypes.map { c =>

@@ -209,7 +209,11 @@ object TextOps {
   private val pruneRe = Pattern.compile("(?U)^(\\w\\w?|[\\d ]{0,4})$")
 
   def prunePhrase(phrase: String): Boolean =
-    pruneRe.matcher(phrase).matches() && phrase == phrase.toLowerCase
+    // the regex can only match strings of length <= 4; short-circuit before
+    // paying a Matcher allocation + toLowerCase copy per span (this runs
+    // once per surviving span in the fused hot path)
+    phrase.length <= 4 &&
+      pruneRe.matcher(phrase).matches() && phrase == phrase.toLowerCase
 
   /** SQL fragment (DuckDB + Spark compatible) equivalent of prunePhrase for
     * ASCII input, used to keep the driver oracle in lockstep. */

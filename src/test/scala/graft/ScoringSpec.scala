@@ -156,4 +156,20 @@ class ScoringSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getString(2)).toMap
     assert(best == Map((0, 10) -> "Q2", (11, 16) -> "Q20", (21, 26) -> "Q8"))
   }
+
+  test("bestLinks releases every intermediate cache (round-2 leak)") {
+    val a = Pipeline.artifacts(spark)
+    val docs = Seq((0L, "merge join order the merge")).toDF("doc_id", "text")
+    val tags = Mentions.candidates(
+      Mentions.extract(docs, a.dictKeys, a.maxKeyTokens),
+      a.dictKeys, a.entityDict, a.pagerank, a.bow)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val best = Scoring.bestLinks(tags, params, Scoring.defaultModel(params.nbSteps))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the (materialized) result may remain cached; tags, edges and the
+    // per-step propagation frames must all be unpersisted
+    assert(after <= before + 1, s"cached RDDs grew $before -> $after")
+    best.unpersist(false)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
 }
