@@ -71,7 +71,8 @@ object BenchChild {
         } yield c - s).getOrElse(0L)
         if (ms >= thresholdMs) {
           val m = info.taskMetrics
-          println(f"STAGELOG id=${info.stageId}%5d ${ms / 1e3}%8.2fs tasks=${info.numTasks}%4d " +
+          val sub = info.submissionTime.map(t => (t % 1000000L) / 1e3).getOrElse(0.0)
+          println(f"STAGELOG sub=$sub%9.2f id=${info.stageId}%5d ${ms / 1e3}%8.2fs tasks=${info.numTasks}%4d " +
             f"run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
             f"gc=${m.jvmGCTime / 1e3}%5.1fs deser=${m.executorDeserializeTime / 1e3}%5.1fs " +
             f"shW=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1fs shRwait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.1fs " +
@@ -87,7 +88,9 @@ object BenchChild {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
     val spark = session(cores)
-    if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1")) addStageLogger(spark)
+    if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1"))
+      addStageLogger(spark,
+        sys.env.getOrElse("SPARK_BENCH_STAGELOG_MS", "3000").toLong)
 
     mode match {
       case "prep" =>

@@ -732,6 +732,26 @@ object Oracles {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** mm_features: the stub decoder is a deterministic byte histogram of the
+    * deterministic html wrapper (Pages.decodeBatch), so its first feature
+    * f0 = |{bytes b : (b & 0x7f) % 8 == 0}| / len is pure arithmetic. The
+    * corpus text is ASCII (mm_extract's char-length == byte-length oracle
+    * row proves it), so byte counting becomes char counting:
+    * length(html) - length(translate(html, <chars with code % 8 == 0>)).
+    */
+  def mmFeaturesSql: String = {
+    // printable ASCII with code % 8 == 0: space ( 0 8 @ H P X ` h p x;
+    // control codes 8/16/24 appended via chr() for exactness
+    s"""WITH pages AS MATERIALIZED (
+       |  SELECT 'https://graft.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       |         '${graft.sources.Pages.HtmlPrefix}' || text || '${graft.sources.Pages.HtmlSuffix}' AS html
+       |  FROM documents)
+       |SELECT url, CAST(length(html) AS BIGINT) AS n_bytes,
+       |       round((length(html) - length(translate(html, ' (08@HPX`hpx' || chr(8) || chr(16) || chr(24), ''))) * 1.0
+       |             / greatest(1.0, length(html)), 6) AS f0
+       |FROM pages""".stripMargin
+  }
+
   def mmExtractSql: String = {
     val pre = graft.sources.Pages.HtmlPrefix.length
     val suf = graft.sources.Pages.HtmlSuffix.length

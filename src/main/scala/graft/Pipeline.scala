@@ -19,7 +19,8 @@ object Pipeline {
       maxKeyTokens: Int,
       bow: Bow.Model,
       pagerank: PageRank.Result,
-      dictCount: Long)
+      dictCount: Long,
+      analyzer: String = "tapioca")
 
   @volatile private var cache: Map[SparkSession, Artifacts] = Map.empty
 
@@ -38,14 +39,14 @@ object Pipeline {
       c.qid -> DictBuild.subclassClosure(spark, DictBuild.p279Edges(items), c.qid.drop(1).toInt)
     }.toMap
     val dict = DictBuild.entityToDocument(items, DictSpec.profile, closures).persist()
-    val keys = DictBuild.dictKeys(dict).persist()
+    val keys = DictBuild.dictKeys(dict, DictSpec.profile.solrconfig).persist()
     val maxN = keys.agg(max(col("n_tokens"))).head().getInt(0)
     val bow = Bow.buildModel(items)
     val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
     val pr = PageRank.run(spark, weighted, lastQid)
     pr.ranks.persist().count()
     items.unpersist()
-    Artifacts(dict, keys, maxN, bow, pr, dict.count())
+    Artifacts(dict, keys, maxN, bow, pr, dict.count(), DictSpec.profile.solrconfig)
   }
 
   /** Persist the offline artifacts as parquet tables (the reference's
@@ -60,9 +61,9 @@ object Pipeline {
     a.bow.wordCount.toSeq.toDF("word", "count")
       .write.mode("overwrite").parquet(s"$dir/bow")
     Seq((a.maxKeyTokens, a.bow.totalCount, a.pagerank.background,
-      a.pagerank.n, a.pagerank.lastQid, a.dictCount))
+      a.pagerank.n, a.pagerank.lastQid, a.dictCount, a.analyzer))
       .toDF("max_key_tokens", "bow_total", "pr_background", "pr_n",
-        "pr_last_qid", "dict_count")
+        "pr_last_qid", "dict_count", "analyzer")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -80,7 +81,8 @@ object Pipeline {
         background = meta.getAs[Double]("pr_background"),
         n = meta.getAs[Long]("pr_n"),
         lastQid = meta.getAs[Long]("pr_last_qid")),
-      dictCount = meta.getAs[Long]("dict_count"))
+      dictCount = meta.getAs[Long]("dict_count"),
+      analyzer = meta.getAs[String]("analyzer"))
   }
 
   /** Pre-seed the per-session artifact cache (benchmark children load
@@ -116,7 +118,7 @@ object Pipeline {
   def mentions(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "mentions") {
       val a = artifacts(spark)
-      Mentions.extract(documents(spark, sfDir), a.dictKeys, a.maxKeyTokens)
+      Mentions.extract(documents(spark, sfDir), a.dictKeys, a.maxKeyTokens, a.analyzer)
     }
 
   /** ranked candidates (top-10 per mention). */

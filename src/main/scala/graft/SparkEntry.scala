@@ -210,7 +210,9 @@ object SparkEntry {
           .as("extract_ok"))
     }),
     "mm_features" -> ((s, dir) =>
-      // batched binary feature extraction with stubbed decode (rows-only)
+      // batched binary feature extraction; the stub decode is a
+      // deterministic byte histogram, so the DuckDB oracle re-derives f0
+      // arithmetically (round-2's last no_oracle row, now closed)
       graft.sources.Pages.extractFeatures(
         graft.sources.Pages.fromDocuments(read(s, dir, "documents")))
         .select(col("url"), col("n_bytes"),
@@ -269,5 +271,6 @@ object SparkEntry {
     "stream_window" -> Oracles.streamWindowSql,
     "stream_upsert" -> Oracles.streamUpsertSql,
     "mm_extract" -> Oracles.mmExtractSql,
+    "mm_features" -> Oracles.mmFeaturesSql,
   )
 }

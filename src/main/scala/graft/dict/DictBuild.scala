@@ -167,11 +167,14 @@ object DictBuild {
   /** Blocking-key table (norm_key, qid, n_tokens) from the entity dict:
     * the Spark replacement for the Solr FST tag index. Normalization runs
     * the tagger analyzer chain (graft.text.TextOps.normToken). */
-  def dictKeys(entityDict: DataFrame): DataFrame = {
+  def dictKeys(entityDict: DataFrame, analyzer: String = "tapioca"): DataFrame = {
     val spark = entityDict.sparkSession
     import spark.implicits._
+    // the profile's solrconfig picks the analyzer chain (tapioca
+    // case-sensitive / affiliations lowercase / twitter @#), mirroring the
+    // reference's per-configset managed-schema `tag` field type
     val normKey = udf { term: String =>
-      graft.text.TextOps.tokenizeWithOffsets(term).map(_.norm).mkString(" ")
+      graft.text.TextOps.tokenizeWithOffsetsFor(analyzer, term).map(_.norm).mkString(" ")
     }
     entityDict
       .select($"id".as("qid"),

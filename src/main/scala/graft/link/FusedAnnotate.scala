@@ -73,6 +73,21 @@ object FusedAnnotate {
           r.getInt(3), r.getInt(4), r.getDouble(5))
       }.toMap
 
+  // Per-artifacts broadcast cache: annotate() used to collect the feature
+  // map and re-broadcast it (plus the BOW model) on EVERY call — a fixed
+  // per-call driver cost that ate into scaling efficiency. One broadcast
+  // per Artifacts instance is the right lifecycle (the reference builds its
+  // Solr index once and serves many tagging requests).
+  private val bcCache =
+    new java.util.concurrent.ConcurrentHashMap[Pipeline.Artifacts,
+      (org.apache.spark.broadcast.Broadcast[Bow.Model],
+       org.apache.spark.broadcast.Broadcast[Map[String, QidFeat]])]()
+
+  private def broadcasts(spark: SparkSession, a: Pipeline.Artifacts) =
+    bcCache.computeIfAbsent(a, _ =>
+      (spark.sparkContext.broadcast(a.bow),
+        spark.sparkContext.broadcast(qidFeatures(a))))
+
   /** Doc-local pipeline: NO_SUB -> tagsLimit -> prune -> top-10 by rank ->
     * context classifier -> per-mention argmax. Shared by both strategies. */
   private def processDoc(docId: Long, all: Array[FeatHit], bm: Bow.Model,
@@ -206,8 +221,8 @@ object FusedAnnotate {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val bow = spark.sparkContext.broadcast(a.bow)
-    val spans = Mentions.candidateSpans(docs, a.maxKeyTokens)
+    val bow = broadcasts(spark, a)._1
+    val spans = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer)
 
     val useBroadcast = strategy match {
       case "broadcast" => true
@@ -217,7 +232,7 @@ object FusedAnnotate {
     }
 
     if (useBroadcast) {
-      val feats = spark.sparkContext.broadcast(qidFeatures(a))
+      val feats = broadcasts(spark, a)._2
       val hits = spans
         .join(broadcast(a.dictKeys.select("norm_key", "qid")), Seq("norm_key"))
         .select(col("doc_id"), col("norm_key"), col("start"), col("end"),

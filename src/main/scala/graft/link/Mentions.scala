@@ -35,14 +35,15 @@ object Mentions {
   /** Candidate spans: all token n-grams (1..maxN) with offsets; document-
     * local, emitted from a typed flatMap (the engine's Generator-shaped op,
     * SURVEY.md §2.9). Text is capped at 10k chars first (tagger.py:41). */
-  def candidateSpans(docs: DataFrame, maxN: Int): DataFrame = {
+  def candidateSpans(docs: DataFrame, maxN: Int,
+      analyzer: String = "tapioca"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[DocRow]
       .flatMap { d =>
         val text = if (d.text.length > MaxLength) d.text.substring(0, MaxLength) else d.text
-        TextOps.ngramSpans(text, maxN).map { s =>
+        TextOps.ngramSpansFor(analyzer, text, maxN).map { s =>
           SpanRow(d.doc_id, s.key, s.nTokens, s.start, s.end,
             text.substring(s.start, s.end))
         }
@@ -91,8 +92,9 @@ object Mentions {
   /** Full mention extraction: spans -> dict match -> NO_SUB -> prune.
     * Returns one row per surviving mention span (doc_id, start, end,
     * surface). */
-  def extract(docs: DataFrame, dictKeys: DataFrame, maxN: Int): DataFrame =
-    resolveSpans(matchSpans(candidateSpans(docs, maxN), dictKeys))
+  def extract(docs: DataFrame, dictKeys: DataFrame, maxN: Int,
+      analyzer: String = "tapioca"): DataFrame =
+    resolveSpans(matchSpans(candidateSpans(docs, maxN, analyzer), dictKeys))
 
   /** Candidate enrichment + ranking (tagger.py:91-119): explode mention x
     * candidate qid, join entity features (broadcast), pagerank lookup with

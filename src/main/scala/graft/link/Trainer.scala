@@ -23,6 +23,19 @@ object Trainer {
   /** gold phrases fixture: (doc_id, start, end, qid). */
   final case class Gold(doc_id: Long, start: Int, end: Int, qid: String)
 
+  /** Planted gold labels over extracted spans: the synthetic corpus embeds
+    * a known surface -> entity mapping (DictSpec.goldQidByKey), so every
+    * extracted span whose surface is in the map is a gold judgment. This
+    * is the training fixture for the frozen served model (TrainFreeze). */
+  def plantedGold(tags: DataFrame): DataFrame = {
+    val goldMap = graft.dict.DictSpec.goldQidByKey
+    val goldUdf = udf { s: String => goldMap.get(s) }
+    tags.select(col("doc_id"), col("start"), col("end"), col("surface")).distinct()
+      .withColumn("qid", goldUdf(col("surface")))
+      .filter(col("qid").isNotNull)
+      .select("doc_id", "start", "end", "qid")
+  }
+
   /** label tags against gold (inner span match, qid equality). */
   def labelTags(feats: DataFrame, gold: DataFrame): DataFrame =
     feats.join(gold.select(col("doc_id"), col("start"), col("end"),

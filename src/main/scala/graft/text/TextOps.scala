@@ -183,8 +183,14 @@ object TextOps {
     * (no shuffle), and the dictionary match is an equi-join on `key`.
     * `maxN` is the max token length over all dictionary phrases, computed
     * at dictionary-build time, which bounds the n-gram explosion. */
-  def ngramSpans(text: String, maxN: Int): IndexedSeq[Span] = {
-    val toks = tokenizeWithOffsets(text)
+  def ngramSpans(text: String, maxN: Int): IndexedSeq[Span] =
+    ngramSpansFor("tapioca", text, maxN)
+
+  /** ngramSpans under a specific configset analyzer chain (the profile's
+    * `solrconfig` drives this end-to-end: an affiliations-profile
+    * dictionary matches case-insensitively). */
+  def ngramSpansFor(analyzer: String, text: String, maxN: Int): IndexedSeq[Span] = {
+    val toks = tokenizeWithOffsetsFor(analyzer, text)
     val out = IndexedSeq.newBuilder[Span]
     var i = 0
     while (i < toks.length) {
