@@ -208,8 +208,17 @@ object Oracles {
        |  FROM (SELECT DISTINCT surface FROM mentions)
        |)""".stripMargin
 
-  val elAnnotateCtxSql: String = {
-    val model = graft.link.Scoring.ctxModel(2)
+  val elAnnotateCtxSql: String = annotateSqlFor(graft.link.Scoring.ctxModel(2))
+
+  /** el_annotate_trained: same full-classifier derivation under the FROZEN
+    * spark.ml-TRAINED model (Scoring.trainedModel, graft.TrainFreeze). */
+  val elAnnotateTrainedSql: String = annotateSqlFor(graft.link.Scoring.trainedModel())
+
+  /** Full context-classifier oracle parameterized by the served model:
+    * re-derives BOW ll, similarity edges w/ decay+smoothing+normalization,
+    * two unrolled propagation steps, the standardized linear decision
+    * function with the model's literals inlined, and the argmax. */
+  def annotateSqlFor(model: graft.link.Scoring.SvmModel): String = {
     val cols = for (s <- 0 to 2; i <- 0 to 4) yield s"s${s}_$i"
     val scoreExpr = cols.zipWithIndex.map { case (c, k) =>
       s"${model.weights(k)} * (($c - ${model.mean(k)}) / ${model.scale(k)})"

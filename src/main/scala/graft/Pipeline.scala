@@ -150,6 +150,17 @@ object Pipeline {
         Scoring.ctxModel())
     }
 
+  /** best entity link per mention under the frozen spark.ml-TRAINED model
+    * (Scoring.trainedModel — weights learned by graft.TrainFreeze and
+    * pinned by TrainerSpec). The driver's el_annotate_trained oracle
+    * inlines the same learned literals. */
+  def annotateTrained(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "annotate_trained") {
+      graft.link.FusedAnnotate.annotate(
+        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        Scoring.trainedModel())
+    }
+
   /** blocked candidate pairs with surface similarity + linkage decision. */
   def pairs(spark: SparkSession, sfDir: String): DataFrame =
     Pairs.candidatePairs(annotate(spark, sfDir))

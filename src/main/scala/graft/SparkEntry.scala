@@ -106,6 +106,14 @@ object SparkEntry {
         .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
           col("surface"), col("best_qid"), round(col("score"), 6).as("score"),
           round(col("log_likelihood"), 6).as("log_likelihood"))),
+    "el_annotate_trained" -> ((s, dir) =>
+      // frozen spark.ml-TRAINED model (TrainFreeze/LinearSVC): the weights
+      // in the served decision function provably came from training —
+      // closing the reference's train-classifier entry point (cli.py:176)
+      Pipeline.annotateTrained(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"), col("best_qid"), round(col("score"), 6).as("score"),
+          round(col("log_likelihood"), 6).as("log_likelihood"))),
     "el_annotations" -> ((s, dir) => {
       // JSON annotation sink exercised for real: serialize per-doc JSON,
       // parse it back, project per-doc aggregates the oracle re-derives
@@ -253,6 +261,7 @@ object SparkEntry {
     "el_candidates" -> Oracles.elCandidatesSql,
     "el_annotate" -> Oracles.elAnnotateSql,
     "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
+    "el_annotate_trained" -> Oracles.elAnnotateTrainedSql,
     "el_annotations" -> Oracles.elAnnotationsSql,
     "el_pairs" -> Oracles.elPairsSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,

@@ -62,6 +62,21 @@ object Scoring {
       -0.3)
   }
 
+  /** Frozen TRAINED model: the exact output of the reference's
+    * train-classifier path run on spark.ml (graft.TrainFreeze: sf0.001
+    * corpus, planted gold, LinearSVC c=0.01/maxIter=50 with balanced
+    * weights + StandardScaler; pairwise F1 = 0.9934 on the training gold).
+    * Served by the driver-checked `el_annotate_trained` query, whose DuckDB
+    * oracle inlines these same literals — so a driver-green row proves the
+    * spark.ml-trained weights flow end-to-end through the engine.
+    * TrainerSpec pins that re-running the training reproduces this model's
+    * predictions. */
+  def trainedModel(): SvmModel = SvmModel(
+    weights = Array(0.6461002145223834, -0.8428738914783259, -0.7573486254458125, 1.9298270027645845, 0.0, 0.07859029482094167, 0.003000142267483328, -0.12227172953717111, 0.04558991323615065, 0.05432808244103846, 0.066413719059914, 0.019137192009774893, -0.10360064110185373, 0.003261394148393873, 0.024302660216218092),
+    mean = Array(3.6913565344209838, 17.871585697219636, 2.231544832553115, 41.203096867122795, 1.0, 3.6913565344209847, 17.871585697219643, 2.231544832553115, 41.203096867122795, 1.0000000000000002, 3.6913565344209838, 17.871585697219643, 2.231544832553115, 41.20309686712279, 1.0),
+    scale = Array(0.73196256271966, 0.5540402341551494, 0.7040099373992567, 13.024882382969945, 1.0, 1.2449416155306507, 5.865178239724898, 0.8757418135516468, 14.970981591393684, 0.323652543897715, 1.4660529547229761, 7.014311784365915, 0.9542868339294813, 16.792637105863644, 0.3894905031442687),
+    intercept = 3.0791329545509325)
+
   /** Model sink: persist a frozen SvmModel as a one-row parquet table
     * (weights/mean/scale arrays + intercept) — the engine's equivalent of
     * the reference's pickled classifier (classifier.py:64-71). */

@@ -54,6 +54,35 @@ class TrainerSpec extends AnyFunSuite {
     assert(loaded.intercept == model.intercept)
   }
 
+  test("frozen trainedModel reproduces a fresh training run's predictions") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val tags = Mentions.candidates(
+      Mentions.extract(docs, a.dictKeys, a.maxKeyTokens),
+      a.dictKeys, a.entityDict, a.pagerank, a.bow)
+      .persist()
+    val gold = goldFor(tags).persist()
+
+    // the frozen literals must themselves hit the F1 gate on the gold
+    val frozen = Scoring.trainedModel()
+    val bestFrozen = Scoring.bestLinks(tags, params, frozen)
+    val (_, _, f1Frozen) = Trainer.evaluate(bestFrozen, gold)
+    assert(f1Frozen >= 0.99, f"frozen model f1: $f1Frozen%.4f")
+
+    // and a fresh spark.ml training run (same recipe as TrainFreeze) must
+    // reproduce the frozen model's predictions link-for-link
+    val fresh = Trainer.train(tags, gold, params, c = 0.01, maxIter = 50)
+    val predFrozen = bestFrozen
+      .select("doc_id", "start", "end", "best_qid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getString(3)).toMap
+    val predFresh = Scoring.bestLinks(tags, params, fresh)
+      .select("doc_id", "start", "end", "best_qid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getString(3)).toMap
+    assert(predFresh === predFrozen)
+    tags.unpersist(); gold.unpersist()
+  }
+
   test("evaluate matches reference P/R/F1 arithmetic on a crafted case") {
     val best = Seq(
       (1L, 0, 4, "Q1"), // correct
