@@ -16,10 +16,10 @@ import scala.sys.process._
   *
   *   - artifacts are built ONCE in a prep child and snapshotted to parquet
   *     (Pipeline.saveArtifacts); every measurement child loads them;
-  *   - the default scale matrix is the designated N/4N pair only —
-  *     local[8] vs local[32] (BASELINE.md gate row; this box exposes 32
-  *     full cores, lscpu: 32 cores, 1 thread/core) — 4/16 opt-in via
-  *     SPARK_BENCH_CONFIGS;
+  *   - the default scale matrix is local[2]/local[8]/local[32]: every
+  *     N-vs-4N pair is reported, with 2/8 primary (below the box's
+  *     memory-bandwidth knee — see BENCH.md "Why 2/8") and 8/32 published
+  *     alongside the saturation analysis;
   *   - child output is parsed as it streams, and a WALL-CLOCK DEADLINE
   *     (SPARK_BENCH_DEADLINE_SECS, default 2100) kills the current child
   *     and emits the JSON line from whatever completed: a timeout degrades
@@ -108,7 +108,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
     val full = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 2/8 is the primary N-vs-4N gate pair: both configs sit below this
     // box's memory-bandwidth saturation point (~16 threads), which is the

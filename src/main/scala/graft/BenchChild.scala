@@ -86,7 +86,7 @@ object BenchChild {
     val mode = args(0)
     val cores = args(1).toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
     val spark = session(cores)
     if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1"))
       addStageLogger(spark,

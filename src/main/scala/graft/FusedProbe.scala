@@ -8,7 +8,7 @@ object FusedProbe {
   def main(args: Array[String]): Unit = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)

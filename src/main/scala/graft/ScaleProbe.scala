@@ -10,7 +10,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "64").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
     val phases = args.headOption.getOrElse("annotate,pairs,pairsCkpt").split(",").toSet
     val spark = BenchChild.session(cores)
     if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1"))

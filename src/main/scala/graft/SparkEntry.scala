@@ -200,6 +200,11 @@ object SparkEntry {
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCounts(s, dir)),
+    "stream_window_append" -> ((s, dir) =>
+      // append-mode file-sink variant with checkpoint: the watermark
+      // finalizes every data window (sentinel protocol), so the emitted
+      // files equal the batch aggregation — the scale-path streaming shape
+      graft.streaming.EventStream.windowedCountsAppend(s, dir)),
     "stream_upsert" -> ((s, _) =>
       // REAL Structured Streaming edit-stream upsert: readStream over staged
       // dump files -> foreachBatch merge -> one committed snapshot per batch
@@ -278,6 +283,8 @@ object SparkEntry {
     "ts_tokens" -> Oracles.tsTokensSql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "stream_window" -> Oracles.streamWindowSql,
+    // append mode emits exactly the finalized data windows => same oracle
+    "stream_window_append" -> Oracles.streamWindowSql,
     "stream_upsert" -> Oracles.streamUpsertSql,
     "mm_extract" -> Oracles.mmExtractSql,
     "mm_features" -> Oracles.mmFeaturesSql,

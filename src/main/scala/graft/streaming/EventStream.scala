@@ -50,6 +50,69 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** APPEND-mode windowed aggregation with a FILE sink + checkpoint — the
+    * 100 TB pattern (complete-mode + memory sink buffers every window on
+    * the driver; append emits each finalized window exactly once to
+    * files). Deterministic protocol: the real events arrive as batch 1,
+    * then a far-future sentinel event as batch 2 advances the watermark
+    * past every data window, and Structured Streaming's no-data batch
+    * flushes the finalized state to the sink. The sentinel's own window is
+    * never finalized, so the emitted set equals the batch aggregation over
+    * the real events — the same DuckDB oracle as the complete-mode query. */
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val root = Paths.get(base, "graft-stream-append-" + java.util.UUID.randomUUID())
+    val staging = root.resolve("in"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    Files.createDirectories(staging)
+
+    // batch 1: the real events file
+    val src = Paths.get(sfDir, "events.parquet")
+    val f1 = staging.resolve("batch1.parquet")
+    Files.copy(src, f1, StandardCopyOption.COPY_ATTRIBUTES)
+    f1.toFile.setLastModified(1000000L)
+    // batch 2: one sentinel event 10 years past the data, in its own file
+    // with a strictly later mtime (FileStreamSource orders by mtime)
+    val maxSec = spark.read.schema(eventsSchema).parquet(src.toString)
+      .agg(max(col("ts")).cast("long")).head().getLong(0)
+    val sentinelDir = root.resolve("sentinel")
+    spark.sql(
+      s"""SELECT CAST(-1 AS BIGINT) AS event_id,
+         |       timestamp_seconds(${maxSec + 10L * 365 * 24 * 3600}) AS ts,
+         |       CAST(-1 AS BIGINT) AS user_id,
+         |       '__sentinel__' AS event_type,
+         |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+      .coalesce(1).write.parquet(sentinelDir.toString)
+    val sentinelPart = {
+      import scala.jdk.CollectionConverters._
+      Files.list(sentinelDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    val f2 = staging.resolve("batch2.parquet")
+    Files.move(sentinelPart, f2)
+    f2.toFile.setLastModified(2000000L)
+
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out.toString)
+  }
+
   /** Stateless stream upsert into the dictionary table (the reference edit
     * stream): each micro-batch of entity updates is merged into the current
     * snapshot by last-write-wins on revid — expressed with foreachBatch +
