@@ -63,24 +63,37 @@ object ConnectedComponents {
       edges.filter(col("src") =!= col("dst"))
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
         .distinct())
+    // Size the loop's shuffles to the WORKING SET, not the session default:
+    // the CC edge list is tiny relative to the corpus, and each round runs
+    // ~5 shuffles — at full session width el_clusters spent more time on
+    // task scheduling (hundreds of sub-second stages) than on data.
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(4L, math.min(origParts.toLong, sig._1 / 250000L + 4L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var prevSig = (-1L, 0L)
     var rounds = 0
-    while (sig != prevSig && rounds < maxRounds) {
-      prevSig = sig
-      val t0 = System.nanoTime()
-      val prev = cur
-      val (next, nextSig) = materialize(smallStar(largeStar(cur)))
-      // free the previous round's checkpoint blocks: leaving them cached
-      // fills the block manager and degrades mid-run rounds 10-20x
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
-      cur = next
-      sig = nextSig
-      rounds += 1
-      if (verbose) println(
-        f"CC round $rounds%2d: edges=${sig._1}%10d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    }
+    try {
+      while (sig != prevSig && rounds < maxRounds) {
+        prevSig = sig
+        val t0 = System.nanoTime()
+        val prev = cur
+        // exactly ONE alternation per materialization: largeStar/smallStar
+        // each read their input several times (union + aggregate + join),
+        // so chaining two rounds unmaterialized re-executes the inner
+        // round's whole subtree multiplicatively (measured 7x slower)
+        val (next, nextSig) = materialize(smallStar(largeStar(cur)))
+        // free the previous round's checkpoint blocks: leaving them cached
+        // fills the block manager and degrades mid-run rounds 10-20x
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+        cur = next
+        sig = nextSig
+        rounds += 1
+        if (verbose) println(
+          f"CC round $rounds%2d: edges=${sig._1}%10d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
     require(sig == prevSig,
-      s"connected components did not converge in $maxRounds rounds")
+      s"connected components did not converge in ${maxRounds}x2 rounds")
     // fixpoint: every edge is (node -> component root)
     val members = cur.select(col("src").as("node"), col("dst").as("component"))
     val roots = cur.select(col("dst").as("node"), col("dst").as("component")).distinct()
