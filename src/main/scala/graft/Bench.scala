@@ -80,8 +80,13 @@ object Bench {
   }
 
   final case class ScaleResult(pages: Long, trials: Seq[Double],
-      gcSecs: Seq[Double], stealSecs: Seq[Double]) {
-    def secs: Double = median(trials)
+      gcSecs: Seq[Double], stealSecs: Seq[Double], cleanFlags: Seq[Boolean]) {
+    /** median over steal-clean trials when any exist (one host storm must
+      * not poison the round), else over everything. */
+    def secs: Double = {
+      val clean = trials.zip(cleanFlags).collect { case (t, true) => t }
+      median(if (clean.nonEmpty) clean else trials)
+    }
   }
 
   private def scaleRun(cores: Int): Option[ScaleResult] = {
@@ -91,7 +96,8 @@ object Bench {
       trials = lines.filter(_.startsWith("TRIAL ")).map(_.split(" "))
       if trials.nonEmpty
     } yield ScaleResult(pages, trials.map(_(2).toDouble), trials.map(_(3).toDouble),
-      trials.map(t => if (t.length > 5) t(5).toDouble else 0.0))
+      trials.map(t => if (t.length > 5) t(5).toDouble else 0.0),
+      trials.map(t => t.length <= 6 || t(6) == "ok"))
   }
 
   /** Stale per-app scratch from killed runs accumulates in tmpfs; wipe the
@@ -124,16 +130,18 @@ object Bench {
     val (prepOk, _) = runChild("prep", full)
     require(prepOk || remaining <= 0, "artifact prep child failed")
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
-    for (c <- configs if remaining > 0)
-      scaleRun(c).foreach(r => results += c -> r)
-
+    // queries first: they are cheap (~2-3 min) and a host storm during the
+    // scale trials must not cost the round its per-query evidence
     val queryTimes =
       if (remaining > 0)
         runChild("queries", full)._2
           .filter(_.startsWith("QT "))
           .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
       else Seq.empty
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
+    for (c <- configs if remaining > 0)
+      scaleRun(c).foreach(r => results += c -> r)
 
     val pages = results.values.headOption.map(_.pages).getOrElse(0L)
     def qps(c: Int): Option[Double] = results.get(c).map(r => r.pages / r.secs)
@@ -150,7 +158,9 @@ object Bench {
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val perConfig = results.map { case (c, r) =>
-      f""""pipeline_secs_$c":${r.secs}%.3f,"pages_per_sec_$c":${r.pages / r.secs}%.1f,"pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)},"host_steal_secs_$c":${arr(r.stealSecs)}"""
+      val flags = r.cleanFlags.map(f => "\"" + (if (f) "ok" else "stolen") + "\"")
+        .mkString("[", ",", "]")
+      f""""pipeline_secs_$c":${r.secs}%.3f,"pages_per_sec_$c":${r.pages / r.secs}%.1f,"pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)},"host_steal_secs_$c":${arr(r.stealSecs)},"trial_flags_$c":$flags%s"""
     }.mkString(",")
     val eff = effPairs.headOption
       .map { case (lo, hi, e) =>

@@ -131,8 +131,18 @@ object BenchChild {
             (p(8).toDouble / 100.0, p(3).toDouble / 100.0) // (steal, system)
           } catch { case _: Throwable => (0.0, 0.0) } finally f.close()
         }
+        // Steal-aware trials: the hypervisor steals cycles in bursts
+        // (observed 193 steal-seconds inside one trial); a trial whose
+        // machine-wide steal exceeds 30% of its wall is marked "stolen"
+        // and retried (bounded), so one host storm cannot poison the
+        // round's median. All attempts are printed; the parent prefers
+        // "ok"-flagged trials.
         val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
-        for (t <- 1 to trials) {
+        val maxAttempts = trials + sys.env.getOrElse("SPARK_BENCH_RETRIES", "3").toInt
+        var ok = 0
+        var attempt = 0
+        while (ok < trials && attempt < maxAttempts) {
+          attempt += 1
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
           // ContextCleaner before timing, not during the next trial
           System.gc()
@@ -143,8 +153,11 @@ object BenchChild {
           runPipeline(docs, a)
           val secs = (System.nanoTime() - t0) / 1e9
           val (steal1, sys1) = cpuJiffies
-          println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $t%d " +
-            f"${steal1 - steal0}%.1f ${sys1 - sys0}%.1f")
+          val steal = steal1 - steal0
+          val clean = steal <= math.max(5.0, 0.3 * secs)
+          if (clean) ok += 1
+          println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $attempt%d " +
+            f"$steal%.1f ${sys1 - sys0}%.1f ${if (clean) "ok" else "stolen"}%s")
         }
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling

@@ -34,6 +34,23 @@ object TrainFreeze {
     println(s"TRAINED scale = ${arr(model.scale)}")
     println(s"TRAINED intercept = ${model.intercept}")
     Scoring.saveModel(spark, model, "models/trained_svm")
+
+    // miniature crossfit_model grid (classifier.py:94-158 shape: vary the
+    // similarity + propagation depth, k-fold by doc_id) — recorded artifact
+    val grid = for {
+      sim <- Seq("direct_link", "edge_ratio")
+      steps <- Seq(1, 2)
+    } yield Scoring.Params(nbSteps = steps, similarity = sim)
+    val (bestP, bestF1, _, scores) =
+      Trainer.crossfit(tags, gold, grid, k = 2, c = 0.01, maxIter = 25)
+    scores.foreach { case (p, f1) =>
+      println(f"CROSSFIT sim=${p.similarity}%-12s nbSteps=${p.nbSteps} meanF1=$f1%.4f")
+    }
+    println(f"CROSSFIT best sim=${bestP.similarity} nbSteps=${bestP.nbSteps} f1=$bestF1%.4f")
+    import spark.implicits._
+    scores.map { case (pp, f1) => (pp.similarity, pp.nbSteps, f1) }
+      .toDF("similarity", "nb_steps", "mean_f1")
+      .coalesce(1).write.mode("overwrite").parquet("models/crossfit_grid")
     spark.stop()
   }
 }

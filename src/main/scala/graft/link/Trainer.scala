@@ -105,10 +105,10 @@ object Trainer {
     * reference's docid_to_mentions cache). */
   def crossfit(tags0: DataFrame, gold: DataFrame,
       grid: Seq[Scoring.Params], k: Int = 5,
-      c: Double = 0.01, maxIter: Int = 50): (Scoring.Params, Double, Scoring.SvmModel) = {
+      c: Double = 0.01, maxIter: Int = 50
+  ): (Scoring.Params, Double, Scoring.SvmModel, Seq[(Scoring.Params, Double)]) = {
     val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var best: (Scoring.Params, Double) = (grid.head, -1.0)
-    for (params <- grid) {
+    val scores = grid.map { params =>
       var f1Sum = 0.0
       for (fold <- 0 until k) {
         val trainTags = tags.filter(col("doc_id") % k =!= fold)
@@ -120,12 +120,12 @@ object Trainer {
           DocClassifier.bestLinks(testTags, params, m), testGold)
         f1Sum += f1
       }
-      val mean = f1Sum / k
-      if (mean > best._2) best = (params, mean)
+      params -> f1Sum / k
     }
-    val model = train(tags, gold, best._1, c, maxIter)
+    val (bestParams, bestF1) = scores.maxBy(_._2)
+    val model = train(tags, gold, bestParams, c, maxIter)
     tags.unpersist(false) // grid-wide candidate cache (docid_to_mentions)
-    (best._1, best._2, model)
+    (bestParams, bestF1, model, scores)
   }
 
   /** evaluate_model (classifier.py:221-260): precision over predictions,

@@ -83,6 +83,27 @@ class TrainerSpec extends AnyFunSuite {
     tags.unpersist(); gold.unpersist()
   }
 
+  test("crossfit scores the grid by k-fold F1 and retrains the winner") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 60)
+    val tags = Mentions.candidates(
+      Mentions.extract(docs, a.dictKeys, a.maxKeyTokens),
+      a.dictKeys, a.entityDict, a.pagerank, a.bow).persist()
+    val gold = goldFor(tags).persist()
+    val grid = Seq(
+      Scoring.Params(nbSteps = 1),
+      Scoring.Params(nbSteps = 2, similarity = "edge_ratio"))
+    val (bestP, bestF1, model, scores) =
+      Trainer.crossfit(tags, gold, grid, k = 2, c = 0.01, maxIter = 20)
+    assert(scores.size == 2)
+    assert(scores.map(_._2).forall(f => f >= 0.0 && f <= 1.0))
+    assert(bestF1 === scores.map(_._2).max)
+    assert(grid.contains(bestP))
+    assert(model.weights.length == 5 * (bestP.nbSteps + 1))
+    gold.unpersist(); tags.unpersist()
+  }
+
   test("evaluate matches reference P/R/F1 arithmetic on a crafted case") {
     val best = Seq(
       (1L, 0, 4, "Q1"), // correct
