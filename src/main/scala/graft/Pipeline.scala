@@ -150,15 +150,26 @@ object Pipeline {
         Scoring.ctxModel())
     }
 
-  /** best entity link per mention under the frozen spark.ml-TRAINED model
-    * (Scoring.trainedModel — weights learned by graft.TrainFreeze and
-    * pinned by TrainerSpec). The driver's el_annotate_trained oracle
-    * inlines the same learned literals. */
+  /** Committed parquet model sink (written by graft.TrainFreeze through
+    * Scoring.saveModel). Resolved relative to the repo root so the driver,
+    * bench children and tests all find it regardless of launcher. */
+  def trainedModelPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
+      new java.io.File("models/trained_svm").getAbsolutePath)
+
+  /** best entity link per mention under the spark.ml-TRAINED model, served
+    * THROUGH the model sink: weights are read back from the committed
+    * parquet table (models/trained_svm, written by TrainFreeze via
+    * Scoring.saveModel) — not from in-code literals — so a driver-green
+    * el_annotate_trained row checks the sink's round-trip too. The DuckDB
+    * oracle inlines the same learned values (Scoring.trainedModel, pinned
+    * equal to the sink by TrainerSpec): any drift between the committed
+    * model file and the frozen literals hash-mismatches the row. */
   def annotateTrained(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "annotate_trained") {
       graft.link.FusedAnnotate.annotate(
         documents(spark, sfDir), artifacts(spark), Scoring.Params(),
-        Scoring.trainedModel())
+        Scoring.loadModel(spark, trainedModelPath))
     }
 
   /** blocked candidate pairs with surface similarity + linkage decision. */

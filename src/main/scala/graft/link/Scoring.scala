@@ -62,15 +62,16 @@ object Scoring {
       -0.3)
   }
 
-  /** Frozen TRAINED model: the exact output of the reference's
-    * train-classifier path run on spark.ml (graft.TrainFreeze: sf0.001
-    * corpus, planted gold, LinearSVC c=0.01/maxIter=50 with balanced
-    * weights + StandardScaler; pairwise F1 = 0.9934 on the training gold).
-    * Served by the driver-checked `el_annotate_trained` query, whose DuckDB
-    * oracle inlines these same literals — so a driver-green row proves the
-    * spark.ml-trained weights flow end-to-end through the engine.
-    * TrainerSpec pins that re-running the training reproduces this model's
-    * predictions. */
+  /** Frozen TRAINED model — ORACLE-SIDE copy of the committed model sink.
+    * The exact output of the reference's train-classifier path run on
+    * spark.ml (graft.TrainFreeze: sf0.001 corpus, planted gold, LinearSVC
+    * c=0.01/maxIter=50 with balanced weights + StandardScaler; pairwise
+    * F1 = 0.9934 on the training gold). The SERVED query
+    * (el_annotate_trained) reads the committed parquet model at
+    * models/trained_svm through Scoring.loadModel (Pipeline.annotateTrained)
+    * — these literals exist so the DuckDB oracle can inline the same
+    * decision function; TrainerSpec pins sink == literals and that
+    * re-running the training reproduces this model's predictions. */
   def trainedModel(): SvmModel = SvmModel(
     weights = Array(0.6461002145223834, -0.8428738914783259, -0.7573486254458125, 1.9298270027645845, 0.0, 0.07859029482094167, 0.003000142267483328, -0.12227172953717111, 0.04558991323615065, 0.05432808244103846, 0.066413719059914, 0.019137192009774893, -0.10360064110185373, 0.003261394148393873, 0.024302660216218092),
     mean = Array(3.6913565344209838, 17.871585697219636, 2.231544832553115, 41.203096867122795, 1.0, 3.6913565344209847, 17.871585697219643, 2.231544832553115, 41.203096867122795, 1.0000000000000002, 3.6913565344209838, 17.871585697219643, 2.231544832553115, 41.20309686712279, 1.0),
@@ -252,10 +253,16 @@ object Scoring {
   def bestLinks(tags0: DataFrame, params: Params, model: SvmModel): DataFrame = {
     // tags feeds the similarity self-join (x2), the feature base and the
     // final score join: persist once, or the whole upstream extraction
-    // pipeline re-executes for every branch
+    // pipeline re-executes for every branch. Spark persist is NOT
+    // refcounted: only unpersist it here if WE persisted it — a caller that
+    // cached the frame for reuse (TrainFreeze, crossfit) must keep its cache
     val caches = scala.collection.mutable.Buffer.empty[DataFrame]
-    val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    caches += tags
+    val callerPersisted =
+      tags0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val tags =
+      if (callerPersisted) tags0
+      else tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!callerPersisted) caches += tags
     val edges = similarityEdges(tags, params)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     caches += edges

@@ -107,7 +107,13 @@ object Trainer {
       grid: Seq[Scoring.Params], k: Int = 5,
       c: Double = 0.01, maxIter: Int = 50
   ): (Scoring.Params, Double, Scoring.SvmModel, Seq[(Scoring.Params, Double)]) = {
-    val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist is not refcounted: leave the caller's cache alone if the
+    // frame arrived already persisted (TrainFreeze/TrainerSpec do)
+    val callerPersisted =
+      tags0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val tags =
+      if (callerPersisted) tags0
+      else tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scores = grid.map { params =>
       var f1Sum = 0.0
       for (fold <- 0 until k) {
@@ -124,7 +130,8 @@ object Trainer {
     }
     val (bestParams, bestF1) = scores.maxBy(_._2)
     val model = train(tags, gold, bestParams, c, maxIter)
-    tags.unpersist(false) // grid-wide candidate cache (docid_to_mentions)
+    if (!callerPersisted)
+      tags.unpersist(false) // grid-wide candidate cache (docid_to_mentions)
     (bestParams, bestF1, model, scores)
   }
 

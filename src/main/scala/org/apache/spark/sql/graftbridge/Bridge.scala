@@ -27,4 +27,12 @@ object Bridge {
         }
       case _ => ()
     }
+
+  /** Drain the async listener bus so SparkListener-accumulated metrics
+    * (e.g. the benchmark's per-trial executorCpuTime sum) are complete
+    * before they are read. listenerBus is private[spark]; this package
+    * lives inside org.apache.spark for exactly these seams. */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(5000)
+    catch { case _: Throwable => () }
 }

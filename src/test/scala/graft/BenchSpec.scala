@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The round-3 bench destroyed its own evidence twice: the empty-matrix
+  * JSON line had a trailing comma (driver recorded parsed:null) and the
+  * trial parser read the ok/stolen flag from the wrong token (every trial
+  * flagged stolen, clean-median never applied). These tests pin both. */
+class BenchSpec extends AnyFunSuite {
+
+  private def parse(s: String): JValue = JsonMethods.parse(s)
+
+  private def trial(cores: Int, secs: Double, steal: Double, clean: Boolean,
+      attempt: Int = 1, cpu: Double = 100.0) =
+    Bench.Trial(cores, secs, 1.0, attempt, steal, 2.0, cpu, clean)
+
+  test("parseTrial reads the exact line format BenchChild prints") {
+    // literal format from BenchChild: TRIAL cores secs gc attempt steal sys cpu flag
+    val line = f"TRIAL ${8}%d ${31.612}%.3f ${2.341}%.3f ${2}%d " +
+      f"${1.2}%.1f ${4.5}%.1f ${201.337}%.3f ${"ok"}%s"
+    val t = Bench.parseTrial(line).get
+    assert(t.cores == 8)
+    assert(t.secs == 31.612)
+    assert(t.gcSecs == 2.341)
+    assert(t.attempt == 2)
+    assert(t.stealSecs == 1.2)
+    assert(t.sysSecs == 4.5)
+    assert(t.cpuSecs == 201.337)
+    assert(t.clean)
+    val stolen = Bench.parseTrial(
+      "TRIAL 2 287.400 3.100 4 655.0 12.0 180.500 stolen").get
+    assert(!stolen.clean)
+    assert(Bench.parseTrial("SCALE 8 320000").isEmpty)
+    assert(Bench.parseTrial("TRIAL garbage").isEmpty)
+  }
+
+  test("emitJson parses with an EMPTY scale matrix and deadline_hit") {
+    val j = parse(Bench.emitJson("/root/testdata/sf0.1", 128,
+      Seq("q1_agg" -> 0.335, "el_clusters" -> 20.935), Seq(8, 2, 32),
+      results = Seq.empty, deadlineHit = true))
+    assert((j \ "deadline_hit") == JBool(true))
+    assert((j \ "pipeline_pages") == JInt(0))
+    assert((j \ "queries" \ "q1_agg") == JDouble(0.335))
+    assert((j \ "scaling_efficiency") == JNothing)
+  }
+
+  test("emitJson parses with zero queries and zero results") {
+    val j = parse(Bench.emitJson("/x", 1, Seq.empty, Seq(2, 8),
+      Seq.empty, deadlineHit = false))
+    assert((j \ "value") == JDouble(0.0))
+    assert((j \ "deadline_hit") == JNothing)
+  }
+
+  test("emitJson publishes efficiency trio + per-config stats when measured") {
+    val r8 = Bench.ScaleResult(640000,
+      Seq(trial(8, 31.0, 1.0, clean = true, 1, 220.0),
+        trial(8, 33.0, 2.0, clean = true, 2, 221.0),
+        trial(8, 200.0, 300.0, clean = false, 3, 223.0)))
+    val r2 = Bench.ScaleResult(640000,
+      Seq(trial(2, 100.0, 0.5, clean = true, 1, 195.0),
+        trial(2, 104.0, 0.5, clean = true, 2, 196.0),
+        trial(2, 102.0, 0.5, clean = true, 3, 197.0)))
+    val j = parse(Bench.emitJson("/x", 128, Seq("a" -> 1.0), Seq(8, 2),
+      Seq(8 -> r8, 2 -> r2), deadlineHit = false))
+    assert((j \ "scaling_pair") == JString("2/8"))
+    // clean-median: 102 / 32 / 4
+    assert((j \ "scaling_efficiency") == JDouble(0.797))
+    // min wall: 100 / 31 / 4
+    assert((j \ "scaling_efficiency_min_2_8") == JDouble(0.806))
+    // cpu: 196 / 221
+    assert((j \ "scaling_efficiency_cpu_2_8") == JDouble(0.887))
+    assert((j \ "pipeline_secs_8") == JDouble(32.0))
+    assert((j \ "pipeline_secs_min_8") == JDouble(31.0))
+    assert((j \ "trial_flags_8") == JArray(List(
+      JString("ok"), JString("ok"), JString("stolen"))))
+    assert((j \ "cpu_secs_2") == JArray(List(
+      JDouble(195.0), JDouble(196.0), JDouble(197.0))))
+  }
+
+  test("all-stolen trials fall back to min-of-attempts") {
+    val r = Bench.ScaleResult(1000,
+      Seq(trial(8, 90.0, 100.0, clean = false),
+        trial(8, 250.0, 400.0, clean = false),
+        trial(8, 120.0, 200.0, clean = false)))
+    assert(r.secs == 90.0)
+    assert(r.minSecs == 90.0)
+  }
+}

@@ -83,6 +83,18 @@ class TrainerSpec extends AnyFunSuite {
     tags.unpersist(); gold.unpersist()
   }
 
+  test("committed model sink equals the frozen oracle literals") {
+    // el_annotate_trained serves models/trained_svm through loadModel while
+    // its DuckDB oracle inlines Scoring.trainedModel() — this pin is what
+    // makes that split sound
+    val committed = Scoring.loadModel(spark, Pipeline.trainedModelPath)
+    val frozen = Scoring.trainedModel()
+    assert(committed.weights.toSeq == frozen.weights.toSeq)
+    assert(committed.mean.toSeq == frozen.mean.toSeq)
+    assert(committed.scale.toSeq == frozen.scale.toSeq)
+    assert(committed.intercept == frozen.intercept)
+  }
+
   test("crossfit scores the grid by k-fold F1 and retrains the winner") {
     val a = Pipeline.artifacts(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
