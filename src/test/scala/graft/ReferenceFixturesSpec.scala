@@ -190,15 +190,16 @@ class ReferenceFixturesSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
-  // classifier.py train/evaluate shape: link the istex_train contexts with
-  // the fixture dictionary and score pairwise agreement against the
-  // REFERENCE gold labels (data/istex_train.ttl) on exactly-matching spans.
-  test("GATE: pairwise F1 vs reference NIF gold on istex_train overlap") {
-    val path = "/root/reference/data/istex_train.ttl"
+  // classifier.py train/evaluate shape: link the istex contexts with the
+  // fixture dictionary and score pairwise agreement against the REFERENCE
+  // gold labels on exactly-matching spans. Shared by the train-split and
+  // HELD-OUT test-split gates (the reference evaluates on istex_test —
+  // cli.py train/test split).
+  private def istexGate(path: String, expectedCtx: Long): Unit = {
     val ctx = NifGold.contexts(spark, path)
       .withColumn("doc_id", regexp_extract(col("doc_uri"), "/(\\d+)$", 1).cast("long"))
       .select(col("doc_id"), col("text"))
-    assert(ctx.count() == 750)
+    assert(ctx.count() == expectedCtx)
 
     val keys = DictBuild.dictKeys(fixtureDict).cache()
     val maxN = keys.agg(max(col("n_tokens"))).head().getInt(0)
@@ -228,9 +229,19 @@ class ReferenceFixturesSpec extends AnyFunSuite {
       .withColumn("gold_same", col("gold1") === col("gold2"))
     val n = labeled.count()
     val (p, r, f1) = graft.link.Pairs.pairwiseF1(labeled, "gold_same")
-    info(f"gold-labeled pairs=$n precision=$p%.4f recall=$r%.4f f1=$f1%.4f")
+    info(f"$path: gold-labeled pairs=$n precision=$p%.4f recall=$r%.4f f1=$f1%.4f")
     assert(n >= 20, s"gold overlap too thin: $n pairs")
     assert(f1 >= 0.99, f"pairwise F1 vs reference gold: $f1%.4f")
+    tags.unpersist()
+  }
+
+  test("GATE: pairwise F1 vs reference NIF gold on istex_train overlap") {
+    istexGate("/root/reference/data/istex_train.ttl", 750)
+  }
+
+  // the reference's actual evaluation corpus: the HELD-OUT istex test split
+  test("GATE: pairwise F1 vs reference NIF gold on istex_test (held out)") {
+    istexGate("/root/reference/data/istex_test.ttl", 250)
   }
 
   // The OTHER half of the reference's evaluation (README.md/paper): the
