@@ -54,6 +54,24 @@ object BenchChild {
       .count()
   }
 
+  /** Cumulative executor CPU seconds via a stage-completion listener:
+    * hypervisor steal inflates wall, not consumed CPU, so this is the
+    * steal-robust work measure published alongside wall times. */
+  private def cpuCounter(spark: SparkSession): () => Double = {
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          cpuNanos.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime); ()
+        }
+      })
+    () => {
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark.sparkContext)
+      cpuNanos.get / 1e9
+    }
+  }
+
   /** Artifacts: load the prep child's snapshot if present, else build. */
   private def artifacts(spark: SparkSession): Pipeline.Artifacts =
     Option(System.getProperty("SPARK_BENCH_ARTIFACTS"))
@@ -108,21 +126,8 @@ object BenchChild {
         // completed TRIAL lines instead of being killed mid-trial
         val budget = Option(System.getProperty("SPARK_BENCH_CHILD_BUDGET_SECS"))
           .map(_.toDouble).getOrElse(Double.MaxValue)
-        // per-trial executor CPU seconds via stage-completion listener:
-        // hypervisor steal inflates wall, not consumed CPU, so this is the
-        // steal-robust work measure the parent publishes alongside wall
-        val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onStageCompleted(
-                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-              cpuNanos.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime); ()
-            }
-          })
-        def cpuSecs: Double = {
-          org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark.sparkContext)
-          cpuNanos.get / 1e9
-        }
+        val cpuSecsF = cpuCounter(spark)
+        def cpuSecs: Double = cpuSecsF()
         val a = artifacts(spark) // offline stage, untimed
         val docs = benchDocs(spark, sfDir, replicate)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -196,15 +201,17 @@ object BenchChild {
         }
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling
+        val cpuSecs = cpuCounter(spark)
         Pipeline.primeArtifacts(spark, artifacts(spark))
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => only.isEmpty || only(n) }
           .foreach { case (name, fn) =>
+          val cpu0 = cpuSecs()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
           val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          println(f"QT $name%s $secs%.3f")
+          println(f"QT $name%s $secs%.3f ${cpuSecs() - cpu0}%.3f")
         }
     }
     spark.stop()

@@ -172,15 +172,19 @@ object Pipeline {
         Scoring.loadModel(spark, trainedModelPath))
     }
 
-  /** blocked candidate pairs with surface similarity + linkage decision. */
+  /** blocked candidate pairs with surface similarity + linkage decision.
+    * Stage-cached: el_pairs and el_clusters share one blockSeq snapshot +
+    * scoring pass instead of re-running the whole pairing per query. */
   def pairs(spark: SparkSession, sfDir: String): DataFrame =
-    Pairs.candidatePairs(annotate(spark, sfDir))
+    cached(spark, sfDir, "pairs") {
+      Pairs.candidatePairs(annotate(spark, sfDir))
+    }
 
   /** mention clusters: transitive closure of same-entity pairs. */
   def clusters(spark: SparkSession, sfDir: String): DataFrame = {
     val best = annotate(spark, sfDir)
     val linked = best.withColumn("mention_id", Pairs.mentionIdCol)
-    val edges = Pairs.sameEntityEdges(Pairs.candidatePairs(best))
+    val edges = Pairs.sameEntityEdges(pairs(spark, sfDir))
     graft.link.ConnectedComponents.runWithIsolated(
       spark, linked.select(col("mention_id")), edges)
   }
