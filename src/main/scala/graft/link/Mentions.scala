@@ -108,11 +108,6 @@ object Mentions {
       pr: PageRank.Result,
       bow: Bow.Model): DataFrame = {
 
-    val spark = mentions.sparkSession
-    import spark.implicits._
-
-    val negLL = udf { surface: String => -bow.phraseLL(surface) }
-
     val withQids = mentions
       .join(broadcast(dictKeys.select("norm_key", "qid")), Seq("norm_key"))
 
@@ -129,7 +124,10 @@ object Mentions {
       .join(broadcast(ranksByQid), Seq("qid_num"), "left")
       .withColumn("pagerank", PageRank.lookupExpr("qid_num", "pr_rank", pr))
       .withColumn("rank", lit(23.0) + log(col("pagerank")))
-      .withColumn("log_likelihood", negLL(col("surface")))
+      // codegen'd Catalyst expression, not a UDF: this projection runs at
+      // the mention x candidate fan-out, the widest row count in the plan
+      .withColumn("log_likelihood",
+        graft.functions.BowLL.bowNegLL(bow, col("surface")))
 
     val wMention = Window.partitionBy(col("doc_id"), col("start"), col("end"))
       .orderBy(col("rank").desc, col("qid"))

@@ -75,6 +75,11 @@ object Pairs {
       .repartitionByRange(numParts, col("block_key"), col("mention_id"))
       .withColumn("pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$dir/part")
+    // the m snapshot is fully consumed by the part write above — delete it
+    // NOW instead of at JVM exit (tmpfs scratch; long-lived sessions were
+    // accumulating two full copies per call, r3 ADVICE). The part snapshot
+    // must outlive the returned (lazy) frame and stays until exit cleanup.
+    rmDir(s"$dir/m")
     val part = spark.read.parquet(s"$dir/part")
     val cnts = part.groupBy("pid", "block_key").agg(count(lit(1)).as("cnt"))
     val wOff = Window.partitionBy("block_key").orderBy("pid")
@@ -103,16 +108,17 @@ object Pairs {
     dir
   }
 
+  private[graft] def rmDir(d: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(d))
+  }
+
   private lazy val exitCleanup: scala.collection.mutable.Buffer[String] = {
     val dirs = scala.collection.mutable.Buffer.empty[String]
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => dirs.foreach(rmDir)))
     dirs
   }
 

@@ -110,7 +110,12 @@ object EventStream {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(out.toString)
+    // pin the (small: one row per finalized window) result into the block
+    // manager, then delete the whole scratch root NOW — staging, checkpoint
+    // and sink files were accumulating per call on tmpfs (r3 ADVICE)
+    val result = spark.read.parquet(out.toString).localCheckpoint(true)
+    graft.link.Pairs.rmDir(root.toString)
+    result
   }
 
   /** Stateless stream upsert into the dictionary table (the reference edit

@@ -51,4 +51,24 @@ class VectorOpsSpec extends AnyFunSuite {
       graft.functions.VectorOps.rhpSignature(v, 8))
     assert(math.abs(row.getAs[Double]("selfcos") - 1.0) < 1e-12)
   }
+
+  test("BowNegLL expression == Bow.Model.phraseLL (bit-exact), null-safe") {
+    import spark.implicits._
+    val bow = graft.model.Bow.Model(
+      Map("the" -> 3L, "invited" -> 1L, "speaker" -> 2L, "of" -> 1L,
+        "house" -> 1L), 8L)
+    val phrases = Seq("dear speaker", "the invited speaker", "Straße zwölf",
+      "", "completely unseen words", "the of house").toDF("p")
+    val rows = phrases
+      .withColumn("ll", graft.functions.BowLL.bowNegLL(bow, col("p")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) === -bow.phraseLL(r.getString(0)))
+    }
+    // null input -> null output (nullIntolerant)
+    val nullRow = Seq((1, Option.empty[String])).toDF("i", "p")
+      .withColumn("ll", graft.functions.BowLL.bowNegLL(bow, col("p")))
+      .head()
+    assert(nullRow.isNullAt(2))
+  }
 }
