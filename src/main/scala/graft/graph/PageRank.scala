@@ -44,8 +44,19 @@ object PageRank {
 
   /** 16-iteration power method. `edges` must be row-normalized.
     * Returns explicit ranks for every node that ever receives edge mass,
-    * plus the shared background value for all other indices in [0, N). */
-  def run(spark: SparkSession, edges: DataFrame, lastQid: Long, iterations: Int = 16): Result = {
+    * plus the shared background value for all other indices in [0, N).
+    *
+    * Durability: like ConnectedComponents.run, with `ckptRoot` (param or
+    * `spark.graft.pagerank.snapshotRoot` conf) every `ckptEvery`-th
+    * iteration commits the rank vector through Snapshots.commit and a rerun
+    * on the same graph (identified by edge count + lastQid in the manifest
+    * lineage) resumes from the last committed iteration — including a rerun
+    * asking for MORE iterations, which continues from the committed prefix
+    * (PageRankSpec pins the extended run equal to a fresh full run up to
+    * aggregation-order ulps). */
+  def run(spark: SparkSession, edges: DataFrame, lastQid: Long,
+      iterations: Int = 16, ckptRoot: Option[String] = None,
+      ckptEvery: Int = 4): Result = {
     val n = lastQid + 1
     // partition the working set proportionally to its size: a per-iteration
     // job over 64 near-empty partitions costs more in scheduling than in
@@ -61,8 +72,26 @@ object PageRank {
     var ranks: DataFrame = null // (qid, rank) for explicit nodes
     var prev: DataFrame = null // kept to document round-to-round handoff
     var background = 1.0 / n
+    var startIt = 0
 
-    for (it <- 0 until iterations) {
+    val root = ckptRoot
+      .orElse(spark.conf.getOption("spark.graft.pagerank.snapshotRoot"))
+      .filter(_.nonEmpty)
+    val inputId = s"pr-input:$eCount:$lastQid"
+    val Stage = "pr_ranks"
+    for {
+      r <- root
+      (path, m) <- graft.ckpt.Snapshots.latest(spark, r, Stage)
+      if m.inputs.headOption.contains(inputId)
+      doneIt = m.inputs(1).stripPrefix("it:").toInt
+      if doneIt < iterations
+    } {
+      ranks = spark.read.parquet(path)
+      background = m.inputs(2).stripPrefix("bg:").toDouble
+      startIt = doneIt + 1
+    }
+
+    for (it <- startIt until iterations) {
       val srcRank =
         if (ranks == null) e.withColumn("srank", lit(background))
         else e.join(ranks.withColumnRenamed("qid", "src"), Seq("src"), "left")
@@ -85,6 +114,17 @@ object PageRank {
       val comp = (1.0 - l1) / n
       ranks = newRanks.withColumn("rank", col("rank") + lit(comp))
       background = comp
+      // commit every ckptEvery-th iteration (and the final one): re-root
+      // the rank vector on the committed parquet so a rerun resumes here
+      root.foreach { r =>
+        if ((it + 1) % ckptEvery == 0 || it == iterations - 1) {
+          val (path, _) = graft.ckpt.Snapshots.commit(ranks, r, Stage,
+            Seq(inputId, s"it:$it", s"bg:$background"))
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev)
+          prev = null
+          ranks = spark.read.parquet(path)
+        }
+      }
     }
     e.unpersist()
     Result(ranks, background, n, lastQid)

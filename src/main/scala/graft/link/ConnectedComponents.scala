@@ -64,9 +64,22 @@ object ConnectedComponents {
     nbr.unionByName(self).distinct()
   }
 
-  /** Runs to fixpoint; returns (node, component). */
+  /** Runs to fixpoint; returns (node, component).
+    *
+    * Durability: by default rounds materialize via localCheckpoint (fast,
+    * but blocks die with an executor — fine on local[k]). With `ckptRoot`
+    * set (param or `spark.graft.cc.snapshotRoot` conf), every `ckptEvery`-th
+    * round is COMMITTED through Snapshots.commit (parquet + manifest with
+    * lineage + per-partition counters), the working frame is re-rooted on
+    * the committed files, and a rerun on the SAME input (identified by the
+    * initial edge-set signature in the manifest lineage) resumes from the
+    * last committed round instead of round 0 — the north_rule's
+    * resume-from-checkpoint contract, kill-tested in PairsCcSpec.
+    * `onRound` observes each executed round index (tests use it to prove a
+    * resumed run skipped the committed prefix). */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
-      verbose: Boolean = false): DataFrame = {
+      verbose: Boolean = false, ckptRoot: Option[String] = None,
+      ckptEvery: Int = 3, onRound: Int => Unit = _ => ()): DataFrame = {
     def materialize(df: DataFrame): (DataFrame, (Long, Long)) = {
       // lazy localCheckpoint: truncates lineage across rounds (plan blowup
       // otherwise); the signature aggregation is the one materializing job.
@@ -107,6 +120,27 @@ object ConnectedComponents {
     sig = pre._2
     var prevSig = (-1L, 0L)
     var rounds = 0
+
+    // Committed-snapshot durability (opt-in): identify this input by the
+    // pre-cascade signature; resume from the newest committed round whose
+    // manifest lineage carries the same identity.
+    val root = ckptRoot.orElse(spark.conf.getOption("spark.graft.cc.snapshotRoot"))
+      .filter(_.nonEmpty)
+    val inputId = s"cc-input:${sig._1}:${sig._2}"
+    val Stage = "cc_rounds"
+    for {
+      r <- root
+      (path, m) <- graft.ckpt.Snapshots.latest(spark, r, Stage)
+      if m.inputs.headOption.contains(inputId)
+    } {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(cur)
+      cur = spark.read.parquet(path)
+      rounds = m.inputs(1).stripPrefix("round:").toInt
+      val s = m.inputs(2).stripPrefix("sig:").split(":")
+      sig = (s(0).toLong, s(1).toLong)
+      if (verbose) println(s"CC resume: round $rounds from $path")
+    }
+
     try {
       while (sig != prevSig && rounds < maxRounds) {
         prevSig = sig
@@ -123,6 +157,18 @@ object ConnectedComponents {
         cur = next
         sig = nextSig
         rounds += 1
+        onRound(rounds)
+        // commit every ckptEvery-th round: re-root the working frame on the
+        // committed parquet (lineage + per-partition counters in the
+        // manifest) so at most ckptEvery rounds replay after a crash
+        root.foreach { r =>
+          if (rounds % ckptEvery == 0) {
+            val (path, _) = graft.ckpt.Snapshots.commit(cur, r, Stage,
+              Seq(inputId, s"round:$rounds", s"sig:${sig._1}:${sig._2}"))
+            org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(cur)
+            cur = spark.read.parquet(path)
+          }
+        }
         if (verbose) println(
           f"CC round $rounds%2d: edges=${sig._1}%10d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }

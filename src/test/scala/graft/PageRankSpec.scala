@@ -46,6 +46,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(totalMass - 1.0) < 1e-9)
   }
 
+  test("power method resumes from committed snapshots (partial -> full run)") {
+    val items = DictBuild.parseDump(DictBuild.syntheticDump(spark))
+    val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+    val w = weighted.persist()
+    val root = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    // "killed" run: only 6 of 16 iterations; commits at it=3 and it=5
+    PageRank.run(spark, w, lastQid, iterations = 6,
+      ckptRoot = Some(root), ckptEvery = 4)
+    val snap = graft.ckpt.Snapshots.latest(spark, root, "pr_ranks")
+    assert(snap.nonEmpty && snap.get._2.inputs(1) == "it:5")
+    // rerun asking for the full 16: must resume at it=6 and end equal to an
+    // un-checkpointed fresh 16-iteration run (up to the summation-order ulp
+    // of the l1 aggregation — the parquet snapshot partitions differently
+    // than the in-memory checkpoint)
+    val resumed = PageRank.run(spark, w, lastQid, iterations = 16,
+      ckptRoot = Some(root), ckptEvery = 4)
+    val fresh = PageRank.run(spark, w, lastQid, iterations = 16)
+    val a = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (q, r) => assert(math.abs(r - b(q)) < 1e-12, s"rank(Q$q)") }
+    assert(math.abs(resumed.background - fresh.background) < 1e-15)
+    w.unpersist()
+    graft.link.Pairs.rmDir(root)
+  }
+
   test("ambiguous surface 'merge': Q8 must outrank Q2 (gold design invariant)") {
     assert(DictSpec.pagerankOf(8) > DictSpec.pagerankOf(2))
     assert(DictSpec.goldQidByKey("merge") == "Q8")

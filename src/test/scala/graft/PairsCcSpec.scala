@@ -45,6 +45,40 @@ class PairsCcSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("CC loop resumes from committed snapshots after a mid-run kill") {
+    // north_rule: "resumable from checkpoint with per-partition lineage +
+    // metrics". Kill = a run bounded to too few rounds (its committed
+    // snapshots survive, like a crashed driver's would); the rerun must
+    // pick up at the committed round, not round 0, and still converge to
+    // the same components as an un-checkpointed fresh run.
+    val n = 4096
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(spark, edges, maxRounds = 2,
+        ckptRoot = Some(root), ckptEvery = 1)
+    }
+    val committed = graft.ckpt.Snapshots.latest(spark, root, "cc_rounds")
+    assert(committed.nonEmpty, "the killed run left no committed snapshot")
+    assert(committed.get._2.inputs(1) == "round:2")
+    assert(committed.get._2.rows > 0) // per-partition counters were recorded
+
+    val executed = scala.collection.mutable.Buffer.empty[Int]
+    val resumed = ConnectedComponents.run(spark, edges,
+      ckptRoot = Some(root), ckptEvery = 1, onRound = executed += _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the resumed run continued AFTER the committed prefix
+    assert(executed.nonEmpty && executed.head == 3,
+      s"expected resume at round 3, executed rounds: $executed")
+    assert(resumed.size == n)
+    assert(resumed.values.toSet == Set(1L))
+    // and equals a fresh, un-checkpointed run
+    val fresh = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == fresh)
+    graft.link.Pairs.rmDir(root)
+  }
+
   test("blockSeq == row_number over (block order by id), even with skew") {
     // one hot block (700 rows), several cold ones, ids deliberately shuffled
     val rows = scala.util.Random.shuffle(
