@@ -211,14 +211,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
     val full = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 2/8 is the primary N-vs-4N gate pair: both configs sit below this
-    // box's memory-bandwidth saturation point (~16 threads), which is the
-    // regime that models a real cluster (4N executors bring 4x memory
-    // bandwidth; one socket does not). 8/32 is reported alongside with the
-    // saturation analysis in BENCH.md. Listed order = execution order:
-    // cheapest (8) first so a host storm late in the round cannot cost the
-    // primary pair both sides.
-    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,2,32")
+    // 1/4 is the primary N-vs-4N gate pair and 2/8 the secondary: all four
+    // configs sit below this box's memory-bandwidth saturation point (~16
+    // threads), the regime that models a real cluster (4N executors bring
+    // 4x memory bandwidth; one socket does not). 8/32 is reported alongside
+    // with the saturation analysis in BENCH.md. Listed order = execution
+    // order: cheapest configs first so a host storm or the deadline late in
+    // the round cannot cost the primary pair both sides; local[1] runs
+    // before local[32] because the 8/32 pair is already capped by the knee,
+    // not by measurement.
+    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "4,8,2,1,32")
       .split(",").map(_.trim.toInt).toSeq
     cleanLocalDir()
 
