@@ -25,7 +25,7 @@ object BenchChild {
       .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
       .getOrElse("/dev/shm/graft-spark")
 
-  def session(cores: Int): SparkSession = {
+  def session(cores: Int, forScale: Boolean = false): SparkSession = {
     // Task-packing knobs (stage-log evidence, round 4): with
     // shuffle.partitions = 2*cores, AQE's coalescer and the scratch-snapshot
     // parquet reads produce stages of 8-10 tasks on an 8-core config — one
@@ -34,9 +34,19 @@ object BenchChild {
     // target so AQE keeps them, and snapshot reads split well below
     // maxPartitionBytes) pack the cores evenly; on a real cluster the same
     // rule is "shuffle partitions = 3-4x total executor cores".
-    val shuffleMult = sys.env.getOrElse("SPARK_BENCH_SHUFFLE_MULT", "4").toInt
-    val advisory = sys.env.getOrElse("SPARK_BENCH_ADVISORY", "16m")
-    val maxPart = sys.env.getOrElse("SPARK_BENCH_MAXPART", "32m")
+    //
+    // SCALE MODE ONLY: the per-query section is dominated by small inputs
+    // and iterative driver loops where per-(task,stage) fixed CPU
+    // (~0.2-0.3 s) dwarfs data — measured at local[32], 4x partitions +
+    // 32m splits took q1_agg 0.4->3.7 s, el_pagerank 1.2->10 s,
+    // stream_upsert (state-store partitions!) 5.6->23.9 s. Task width must
+    // follow the working set, not a global knob.
+    val shuffleMult = sys.env.getOrElse("SPARK_BENCH_SHUFFLE_MULT",
+      if (forScale) "4" else "2").toInt
+    val advisory = sys.env.getOrElse("SPARK_BENCH_ADVISORY",
+      if (forScale) "16m" else "64m")
+    val maxPart = sys.env.getOrElse("SPARK_BENCH_MAXPART",
+      if (forScale) "32m" else "128m")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -121,7 +131,7 @@ object BenchChild {
     val cores = args(1).toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "128").toInt
-    val spark = session(cores)
+    val spark = session(cores, forScale = mode == "scale")
     if (sys.env.get("SPARK_BENCH_STAGELOG").contains("1"))
       addStageLogger(spark,
         sys.env.getOrElse("SPARK_BENCH_STAGELOG_MS", "3000").toLong)

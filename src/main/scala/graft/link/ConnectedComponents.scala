@@ -126,6 +126,48 @@ object ConnectedComponents {
     // manifest lineage carries the same identity.
     val root = ckptRoot.orElse(spark.conf.getOption("spark.graft.cc.snapshotRoot"))
       .filter(_.nonEmpty)
+
+    // Size-gated local endgame (the standard big-graph CC design, e.g.
+    // GraphFrames' aggregateMessages loop with a local finisher): after the
+    // compression cascade the residual edge set of a mention graph is tiny
+    // relative to the corpus — when it fits trivially on the driver
+    // (default 2M edges = 32 MB; conf spark.graft.cc.localSolveEdges, 0
+    // disables), a driver-side union-find replaces ~8 more driver-loop
+    // rounds of sub-second shuffles whose cost is pure scheduling latency.
+    // At 10^12-document scale the cascade output for a GLOBAL graph can
+    // exceed any driver, so the loop path stays the default whenever
+    // durability is requested (root defined) or the set is large; the gate
+    // is measured per-input, exactly like a broadcast-join threshold.
+    val localMax =
+      spark.conf.getOption("spark.graft.cc.localSolveEdges")
+        .map(_.toLong).getOrElse(2000000L)
+    if (root.isEmpty && sig._1 <= localMax) {
+      val rows = cur.select(col("src"), col("dst")).collect()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(cur)
+      spark.conf.set("spark.sql.shuffle.partitions", origParts)
+      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      var i = 0
+      while (i < rows.length) {
+        val s = rows(i).getLong(0); val d = rows(i).getLong(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val (a, b) = (find(s), find(d))
+        // min-id root: matches the loop's component = min reachable node
+        if (a < b) parent.put(b, a) else if (b < a) parent.put(a, b)
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+      import spark.implicits._
+      return out.toDF("node", "component")
+    }
     val inputId = s"cc-input:${sig._1}:${sig._2}"
     val Stage = "cc_rounds"
     for {

@@ -45,6 +45,26 @@ class PairsCcSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("CC local union-find endgame == distributed loop on a random graph") {
+    // deterministic random graph: mixes chains, stars and isolated pairs
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.tabulate(4000) { i =>
+      val a = rnd.nextInt(1500).toLong
+      val b = rnd.nextInt(1500).toLong
+      (a + 1, b + 1)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    // default conf: local solve engages (4k edges << 2M gate)
+    val local = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the distributed loop path
+    spark.conf.set("spark.graft.cc.localSolveEdges", "0")
+    try {
+      val loop = ConnectedComponents.run(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == loop)
+    } finally spark.conf.unset("spark.graft.cc.localSolveEdges")
+  }
+
   test("CC loop resumes from committed snapshots after a mid-run kill") {
     // north_rule: "resumable from checkpoint with per-partition lineage +
     // metrics". Kill = a run bounded to too few rounds (its committed
