@@ -486,6 +486,86 @@ object Oracles {
        |FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9""".stripMargin
 
+  // ---- the three similarity kernels over blocking-key entity pairs --------
+  // (similarities.py:28-69) re-derived arithmetically: constants are written
+  // as the same double-precision products the Scala side evaluates
+  // (0.85*0.85 etc.), so both engines run identical IEEE operations.
+
+  val elSimSql: String =
+    s"""WITH dict(norm_key, qid) AS (VALUES $dictKeysValues),
+       |feat(qid, qid_num, nb_statements, nb_sitelinks, edges) AS (VALUES $featValues),
+       |k AS (SELECT DISTINCT norm_key, qid FROM dict),
+       |p AS (
+       |  SELECT a.norm_key, a.qid AS qid_a, b.qid AS qid_b,
+       |         fa.qid_num AS na, fb.qid_num AS nb,
+       |         fa.edges AS ea, fb.edges AS eb
+       |  FROM k a JOIN k b ON a.norm_key = b.norm_key AND a.qid < b.qid
+       |  JOIN feat fa ON fa.qid = a.qid
+       |  JOIN feat fb ON fb.qid = b.qid
+       |),
+       |q AS (
+       |  SELECT *,
+       |         list_distinct(list_append(ea, na)) AS au,
+       |         list_distinct(list_append(eb, nb)) AS bu,
+       |         list_distinct(ea) AS ad,
+       |         list_distinct(eb) AS bd
+       |  FROM p
+       |)
+       |SELECT norm_key, qid_a, qid_b,
+       |  round((CASE WHEN na = nb OR list_contains(ea, nb) THEN 1.0 ELSE 0.0 END)
+       |      + (CASE WHEN nb = na OR list_contains(eb, na) THEN 1.0 ELSE 0.0 END),
+       |    6) AS sim_direct,
+       |  round(0.5 * (CAST(len(list_intersect(au, bu)) AS DOUBLE) / CAST(len(au) AS DOUBLE)
+       |             + CAST(len(list_intersect(au, bu)) AS DOUBLE) / CAST(len(bu) AS DOUBLE)),
+       |    6) AS sim_edge_ratio,
+       |  round((CASE WHEN na = nb THEN 0.85 * 0.85 ELSE 0.0 END)
+       |      + (CASE WHEN list_contains(ad, nb)
+       |         THEN ((1 - 0.85) * 0.85) / CAST(len(ad) AS DOUBLE) ELSE 0.0 END)
+       |      + (CASE WHEN list_contains(bd, na)
+       |         THEN (0.85 * (1 - 0.85)) / CAST(len(bd) AS DOUBLE) ELSE 0.0 END)
+       |      + (CASE WHEN len(list_intersect(ad, bd)) > 0
+       |         THEN ((1 - 0.85) * (1 - 0.85))
+       |              * (CAST(len(list_intersect(ad, bd)) AS DOUBLE) / CAST(len(ad) AS DOUBLE))
+       |              * (CAST(len(list_intersect(ad, bd)) AS DOUBLE) / CAST(len(bd) AS DOUBLE))
+       |         ELSE 0.0 END),
+       |    6) AS sim_one_step
+       |FROM q""".stripMargin
+
+  // ---- P/R/F1 evaluation (classifier.py:221-260) --------------------------
+  // Trained-model best links scored with the ctx-model best links as the
+  // judgment set: both full annotate chains are re-derived (nested WITH
+  // scopes), then the evaluation arithmetic mirrors the Scala plan exactly
+  // (same casts, same association order) so the rounded ratios agree.
+
+  val elEvalSql: String =
+    s"""WITH b AS MATERIALIZED ($elAnnotateTrainedSql),
+       |g AS MATERIALIZED ($elAnnotateCtxSql),
+       |counts AS (
+       |  SELECT sum(CASE WHEN g.best_qid IS NOT NULL AND g.best_qid = b.best_qid
+       |             THEN 1 ELSE 0 END) AS valid,
+       |         count(*) AS preds
+       |  FROM b LEFT JOIN g
+       |    ON g.doc_id = b.doc_id AND g.m_start = b.m_start AND g.m_end = b.m_end
+       |),
+       |j AS (SELECT count(*) AS judgments FROM g),
+       |r AS (
+       |  SELECT valid, preds, judgments,
+       |         CASE WHEN preds > 0
+       |           THEN CAST(valid AS DOUBLE) / CAST(preds AS DOUBLE)
+       |           ELSE 1.0 END AS p,
+       |         CASE WHEN judgments > 0
+       |           THEN CAST(valid AS DOUBLE) / CAST(judgments AS DOUBLE)
+       |           ELSE 1.0 END AS rec
+       |  FROM counts, j
+       |)
+       |SELECT CAST(valid AS BIGINT) AS valid, CAST(preds AS BIGINT) AS preds,
+       |       CAST(judgments AS BIGINT) AS judgments,
+       |       round(p, 6) AS precision,
+       |       round(rec, 6) AS recall,
+       |       round(CASE WHEN p + rec > 0 THEN 2.0 * p * rec / (p + rec)
+       |             ELSE 0.0 END, 6) AS f1
+       |FROM r""".stripMargin
+
   // ---- connected components over the alias-sharing qid graph --------------
 
   val elCcAliasSql: String =

@@ -148,6 +148,44 @@ object SparkEntry {
       val nodes = keys.select(expr("cast(substring(qid, 2) as long)").as("node")).distinct()
       graft.link.ConnectedComponents.runWithIsolated(s, nodes, edges)
     }),
+    "el_sim" -> ((s, _) => {
+      // the reference's THREE similarity kernels (similarities.py:28-69)
+      // over every candidate-entity pair sharing a blocking key, computed
+      // by the production Scoring column functions; the oracle re-derives
+      // each kernel arithmetically in SQL from the dict + edge literals
+      val a = Pipeline.artifacts(s)
+      val keys = a.dictKeys.select(col("norm_key"), col("qid")).distinct()
+      val ents = a.entityDict.select(col("id").as("qid"),
+        expr("cast(substring(id, 2) as int)").as("qn"), col("edges"))
+      val l = keys.join(ents, "qid")
+        .select(col("norm_key"), col("qid").as("qid_a"), col("qn").as("na"),
+          col("edges").as("edges_a"))
+      val r = keys.join(ents, "qid")
+        .select(col("norm_key").as("nk2"), col("qid").as("qid_b"),
+          col("qn").as("nb"), col("edges").as("edges_b"))
+      import graft.link.Scoring
+      l.join(r, l("norm_key") === r("nk2") && col("qid_a") < col("qid_b"))
+        .select(col("norm_key"), col("qid_a"), col("qid_b"),
+          round(Scoring.directLinkSim(col("na"), col("edges_a"), col("nb"), col("edges_b")), 6)
+            .as("sim_direct"),
+          round(Scoring.edgeRatioSim(col("na"), col("edges_a"), col("nb"), col("edges_b")), 6)
+            .as("sim_edge_ratio"),
+          round(Scoring.oneStepSim(0.85)(col("na"), col("edges_a"), col("nb"), col("edges_b")), 6)
+            .as("sim_one_step"))
+    }),
+    "el_eval" -> ((s, dir) => {
+      // evaluate_model (classifier.py:221-260) as a one-row distributed
+      // aggregation: the spark.ml-TRAINED model's best links scored with
+      // the frozen ctx model's best links as the judgment set — exercising
+      // the production P/R/F1 evaluation path end-to-end; the oracle
+      // re-derives both annotate chains AND the evaluation arithmetic
+      val best = Pipeline.annotateTrained(s, dir)
+        .select(col("doc_id"), col("start"), col("end"), col("best_qid"))
+      val gold = Pipeline.annotateCtx(s, dir)
+        .select(col("doc_id"), col("start"), col("end"),
+          col("best_qid").as("qid"))
+      graft.link.Trainer.evaluateDf(best, gold)
+    }),
     "el_clusters" -> ((s, dir) =>
       // full transitive clustering of same-entity mention pairs; the oracle
       // re-derives components from the pairing structure (same-qid runs at
@@ -269,6 +307,8 @@ object SparkEntry {
     "el_annotate_trained" -> Oracles.elAnnotateTrainedSql,
     "el_annotations" -> Oracles.elAnnotationsSql,
     "el_pairs" -> Oracles.elPairsSql,
+    "el_sim" -> Oracles.elSimSql,
+    "el_eval" -> Oracles.elEvalSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
     "el_clusters" -> Oracles.elClustersSql,
     "ann_lsh" -> Oracles.annLshSql,

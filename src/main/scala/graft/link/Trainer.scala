@@ -135,8 +135,32 @@ object Trainer {
     (bestParams, bestF1, model, scores)
   }
 
-  /** evaluate_model (classifier.py:221-260): precision over predictions,
-    * recall over gold judgments, on the best-link output. */
+  /** evaluate_model (classifier.py:221-260) as a one-row distributed plan:
+    * precision over predictions, recall over gold judgments, on the
+    * best-link output. Columns (valid, preds, judgments, precision, recall,
+    * f1); the ratio columns are rounded to 6 decimals for cross-engine
+    * comparison, the counts are exact. */
+  def evaluateDf(best: DataFrame, gold: DataFrame): DataFrame = {
+    val g = gold.select(col("doc_id"), col("start"), col("end"),
+      col("qid").as("gold_qid"))
+    val joined = best.join(g, Seq("doc_id", "start", "end"), "left")
+    val counts = joined.agg(
+      sum(when(col("gold_qid").isNotNull && col("gold_qid") === col("best_qid"), 1L)
+        .otherwise(0L)).as("valid"),
+      count(lit(1)).as("preds"))
+    val judgments = g.agg(count(lit(1)).as("judgments"))
+    val p = when(col("preds") > 0,
+      col("valid").cast("double") / col("preds").cast("double")).otherwise(lit(1.0))
+    val rec = when(col("judgments") > 0,
+      col("valid").cast("double") / col("judgments").cast("double")).otherwise(lit(1.0))
+    val f1 = when(p + rec > 0, lit(2.0) * p * rec / (p + rec)).otherwise(lit(0.0))
+    counts.crossJoin(judgments).select(
+      col("valid"), col("preds"), col("judgments"),
+      round(p, 6).as("precision"), round(rec, 6).as("recall"),
+      round(f1, 6).as("f1"))
+  }
+
+  /** Scalar convenience over [[evaluateDf]]. */
   def evaluate(best: DataFrame, gold: DataFrame): (Double, Double, Double) = {
     val g = gold.select(col("doc_id"), col("start"), col("end"),
       col("qid").as("gold_qid"))
