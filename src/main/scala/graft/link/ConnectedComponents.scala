@@ -100,51 +100,33 @@ object ConnectedComponents {
         .select(greatest(col("s"), col("d")).as("src"),
           least(col("s"), col("d")).as("dst"))
         .distinct())
-    // Size the loop's shuffles to the WORKING SET, not the session default:
-    // the CC edge list is tiny relative to the corpus, and each round runs
-    // ~5 shuffles — at full session width el_clusters spent more time on
-    // task scheduling (hundreds of sub-second stages) than on data.
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(4L, math.min(origParts.toLong, sig._1 / 250000L + 4L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    var prev0 = cur
-    // Pre-loop compression cascade: 5 chained pointer jumps cut residual
-    // chain depth ~32x before the first (much more expensive) star round —
-    // the sorted-neighborhood mention graph is path-shaped, where the stars
-    // alone need ~log2(chain) rounds. compress maps edges 1:1 (no growth),
-    // so one trailing distinct washes all five applications.
-    val pre = materialize(
-      compress(compress(compress(compress(compress(cur))))).distinct())
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev0)
-    cur = pre._1
-    sig = pre._2
-    var prevSig = (-1L, 0L)
-    var rounds = 0
 
-    // Committed-snapshot durability (opt-in): identify this input by the
-    // pre-cascade signature; resume from the newest committed round whose
-    // manifest lineage carries the same identity.
+    // Committed-snapshot durability (opt-in): identify this input by its
+    // initial edge-set signature; resume from the newest committed round
+    // whose manifest lineage carries the same identity.
     val root = ckptRoot.orElse(spark.conf.getOption("spark.graft.cc.snapshotRoot"))
       .filter(_.nonEmpty)
 
     // Size-gated local endgame (the standard big-graph CC design, e.g.
-    // GraphFrames' aggregateMessages loop with a local finisher): after the
-    // compression cascade the residual edge set of a mention graph is tiny
-    // relative to the corpus — when it fits trivially on the driver
-    // (default 2M edges = 32 MB; conf spark.graft.cc.localSolveEdges, 0
-    // disables), a driver-side union-find replaces ~8 more driver-loop
-    // rounds of sub-second shuffles whose cost is pure scheduling latency.
-    // At 10^12-document scale the cascade output for a GLOBAL graph can
-    // exceed any driver, so the loop path stays the default whenever
-    // durability is requested (root defined) or the set is large; the gate
-    // is measured per-input, exactly like a broadcast-join threshold.
+    // GraphFrames' aggregateMessages loop with a local finisher): the
+    // same-entity edge set of a mention graph is tiny relative to the
+    // corpus — when it fits trivially on the driver (default 2M edges =
+    // 32 MB; conf spark.graft.cc.localSolveEdges, 0 disables), a
+    // driver-side union-find replaces the whole compression cascade + star
+    // loop, whose cost at this size is pure scheduling latency. Checked on
+    // the INITIAL signature so the eligible path pays for no distributed
+    // rounds at all. At 10^12-document scale the edge set of a GLOBAL
+    // graph exceeds any driver, so the loop path stays the default
+    // whenever durability is requested (root defined) or the set is
+    // large; the gate is measured per-input, exactly like a
+    // broadcast-join threshold.
     val localMax =
       spark.conf.getOption("spark.graft.cc.localSolveEdges")
         .map(_.toLong).getOrElse(2000000L)
     if (root.isEmpty && sig._1 <= localMax) {
       val rows = cur.select(col("src"), col("dst")).collect()
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(cur)
-      spark.conf.set("spark.sql.shuffle.partitions", origParts)
       val parent = new java.util.HashMap[Long, Long](rows.length * 2)
       def find(x: Long): Long = {
         var r = x
@@ -168,6 +150,26 @@ object ConnectedComponents {
       import spark.implicits._
       return out.toDF("node", "component")
     }
+
+    // Size the loop's shuffles to the WORKING SET, not the session default:
+    // the CC edge list is tiny relative to the corpus, and each round runs
+    // ~5 shuffles — at full session width el_clusters spent more time on
+    // task scheduling (hundreds of sub-second stages) than on data.
+    val loopParts = math.max(4L, math.min(origParts.toLong, sig._1 / 250000L + 4L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    var prev0 = cur
+    // Pre-loop compression cascade: 5 chained pointer jumps cut residual
+    // chain depth ~32x before the first (much more expensive) star round —
+    // the sorted-neighborhood mention graph is path-shaped, where the stars
+    // alone need ~log2(chain) rounds. compress maps edges 1:1 (no growth),
+    // so one trailing distinct washes all five applications.
+    val pre = materialize(
+      compress(compress(compress(compress(compress(cur))))).distinct())
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prev0)
+    cur = pre._1
+    sig = pre._2
+    var prevSig = (-1L, 0L)
+    var rounds = 0
     val inputId = s"cc-input:${sig._1}:${sig._2}"
     val Stage = "cc_rounds"
     for {
