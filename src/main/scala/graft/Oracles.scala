@@ -851,4 +851,63 @@ object Oracles {
        |       TRUE AS extract_ok
        |FROM documents""".stripMargin
   }
+
+  /** el_nif: the staged synthetic NIF corpus re-derived from first
+    * principles — the decoded context texts come from DuckDB's OWN escape
+    * decoder (SQL e-strings carry the same \" \n \t \\ sequences the Turtle
+    * literals do), and the begin/end offsets from strpos over those decoded
+    * texts, so the Spark side's single-pass Turtle unescape and the parsed
+    * integer offsets are both independently checked. */
+  val elNifSql: String =
+    """WITH ctx(doc_uri, text) AS (VALUES
+      |  ('http://graft.test/doc1', e'Said "hello" to Ada Lovelace\nin Paris.'),
+      |  ('http://graft.test/doc2', e'Tabs\there and C:\\path meet Alan Turing.')),
+      |m(doc_uri, surface, qid) AS (VALUES
+      |  ('http://graft.test/doc1', 'Ada Lovelace', 'Q7259'),
+      |  ('http://graft.test/doc1', 'Paris', 'Q90'),
+      |  ('http://graft.test/doc2', 'Alan Turing', 'Q7251'))
+      |SELECT c.doc_uri,
+      |       CAST(strpos(c.text, m.surface) - 1 AS INTEGER) AS m_begin,
+      |       CAST(strpos(c.text, m.surface) - 1 + length(m.surface) AS INTEGER) AS m_end,
+      |       m.surface, m.qid,
+      |       CAST(length(c.text) AS INTEGER) AS ctx_len,
+      |       substr(c.text, strpos(c.text, m.surface), length(m.surface)) = m.surface AS anchor_ok
+      |FROM m JOIN ctx c USING (doc_uri)""".stripMargin
+
+  /** el_norm: qid/pid extraction re-derived with DuckDB's regex engine. */
+  val elNormSql: String =
+    """WITH u(url) AS (VALUES
+      |  ('http://www.wikidata.org/entity/Q42'),
+      |  ('https://www.wikidata.org/wiki/Q8502'),
+      |  ('Q3918'),
+      |  ('http://www.wikidata.org/prop/direct/P2427'),
+      |  ('http://www.wikidata.org/entity/P31'),
+      |  ('P2002'),
+      |  ('http://www.wikidata.org/entity/statement/Q42-F078'),
+      |  ('Q042'),
+      |  ('q42'),
+      |  ('http://example.org/other'))
+      |SELECT url,
+      |       NULLIF(regexp_extract(url, '(Q[1-9][0-9]*)$', 1), '') AS qid,
+      |       NULLIF(regexp_extract(url, '(P[1-9][0-9]*)$', 1), '') AS pid
+      |FROM u""".stripMargin
+
+  /** el_fold: the frozen transliteration table cross-checked against
+    * DuckDB's strip_accents for combining accents, explicit folds for the
+    * ligature/punctuation rows strip_accents leaves alone (œ Æ ß ’ — the
+    * Lucene ASCIIFolding behaviors), and unidecode's drop-unmapped rule as
+    * a trailing non-ASCII strip. */
+  val elFoldSql: String =
+    """WITH t(raw) AS (VALUES
+      |  ('café'), ('Ångström naïve'), ('Señor Peña'), ('l’œuvre de Æsop'),
+      |  ('straße'), ('plain ASCII'), ('中文 mixed λ')),
+      |f AS (SELECT raw,
+      |  replace(replace(replace(replace(replace(
+      |    strip_accents(raw), 'œ', 'oe'), 'Æ', 'AE'), 'æ', 'ae'),
+      |    'ß', 'ss'), '’', '''') AS folded
+      |  FROM t)
+      |SELECT raw,
+      |       regexp_replace(folded, '[^\x00-\x7F]', '', 'g') AS uni,
+      |       folded
+      |FROM f""".stripMargin
 }

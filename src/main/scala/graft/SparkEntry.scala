@@ -186,6 +186,43 @@ object SparkEntry {
           col("best_qid").as("qid"))
       graft.link.Trainer.evaluateDf(best, gold)
     }),
+    "el_nif" -> ((s, _) =>
+      // NIF/Turtle gold-corpus scan (classifier.py:184-195) end-to-end over
+      // a staged deterministic corpus: contexts + gold mentions + the
+      // single-pass escape decoder all drive the checked rows
+      graft.sources.NifGold.syntheticDemo(s)),
+    "el_norm" -> ((s, _) => {
+      // Qid/Pid URL normalization (utils.py:3-34) over the doctest-shaped
+      // URL inventory; the oracle re-derives both extractions with DuckDB's
+      // own regex engine
+      import s.implicits._
+      Seq(
+        "http://www.wikidata.org/entity/Q42",
+        "https://www.wikidata.org/wiki/Q8502",
+        "Q3918",
+        "http://www.wikidata.org/prop/direct/P2427",
+        "http://www.wikidata.org/entity/P31",
+        "P2002",
+        "http://www.wikidata.org/entity/statement/Q42-F078",
+        "Q042",
+        "q42",
+        "http://example.org/other").toDF("url")
+        .select(col("url"),
+          graft.dict.DictBuild.qidFromUrl(col("url")).as("qid"),
+          graft.dict.DictBuild.pidFromUrl(col("url")).as("pid"))
+    }),
+    "el_fold" -> ((s, _) => {
+      // unidecode (languagemodel.py:16) and Lucene-ASCIIFolding asciiFold
+      // over a fixture covering accents, ligatures, ß, curly quotes and
+      // unmapped scripts; the oracle re-derives both via strip_accents +
+      // explicit ligature folds + a non-ASCII strip in DuckDB
+      import s.implicits._
+      Seq("café", "Ångström naïve", "Señor Peña", "l’œuvre de Æsop",
+        "straße", "plain ASCII", "中文 mixed λ")
+        .map(t => (t, graft.text.TextOps.unidecode(t),
+          graft.text.TextOps.asciiFold(t)))
+        .toDF("raw", "uni", "folded")
+    }),
     "el_clusters" -> ((s, dir) =>
       // full transitive clustering of same-entity mention pairs; the oracle
       // re-derives components from the pairing structure (same-qid runs at
@@ -310,6 +347,9 @@ object SparkEntry {
     "el_sim" -> Oracles.elSimSql,
     "el_eval" -> Oracles.elEvalSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
+    "el_nif" -> Oracles.elNifSql,
+    "el_norm" -> Oracles.elNormSql,
+    "el_fold" -> Oracles.elFoldSql,
     "el_clusters" -> Oracles.elClustersSql,
     "ann_lsh" -> Oracles.annLshSql,
     "dd_exact" -> Oracles.ddExactSql,

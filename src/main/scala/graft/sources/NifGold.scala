@@ -98,4 +98,67 @@ object NifGold {
       .flatMap(c => parseTtl(c)._2)
       .toDF()
   }
+
+  /** Driver-checkable demo of the NIF scan: stages a deterministic two-file
+    * synthetic Turtle corpus (escape sequences \" \n \t \\ exercised in the
+    * context literals so the single-pass decoder is load-bearing), runs the
+    * production contexts/goldMentions readers over it, and emits one row per
+    * gold mention joined to its context with an offset-consistency flag.
+    * The DuckDB oracle re-derives the decoded texts independently via SQL
+    * e-string escapes and the offsets via strpos (Oracles.elNifSql), so a
+    * mis-decoded escape or off-by-one offset cannot hash-match. */
+  def syntheticDemo(spark: SparkSession): DataFrame = {
+    val ttl1 =
+      """@prefix nif: <http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#> .
+        |@prefix itsrdf: <http://www.w3.org/2005/11/its/rdf#> .
+        |
+        |<http://graft.test/doc1> a nif:Context ;
+        |  nif:isString "Said \"hello\" to Ada Lovelace\nin Paris." .
+        |
+        |<http://graft.test/doc1#offset_16_28> a nif:Phrase ;
+        |  nif:anchorOf "Ada Lovelace" ;
+        |  nif:beginIndex "16" ;
+        |  nif:endIndex "28" ;
+        |  nif:referenceContext <http://graft.test/doc1> ;
+        |  itsrdf:taIdentRef <http://www.wikidata.org/entity/Q7259> .
+        |
+        |<http://graft.test/doc1#offset_32_37> a nif:Phrase ;
+        |  nif:anchorOf "Paris" ;
+        |  nif:beginIndex "32" ;
+        |  nif:endIndex "37" ;
+        |  nif:referenceContext <http://graft.test/doc1> ;
+        |  itsrdf:taIdentRef <http://www.wikidata.org/entity/Q90> .
+        |""".stripMargin
+    val ttl2 =
+      """@prefix nif: <http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#> .
+        |@prefix itsrdf: <http://www.w3.org/2005/11/its/rdf#> .
+        |
+        |<http://graft.test/doc2> a nif:Context ;
+        |  nif:isString "Tabs\there and C:\\path meet Alan Turing." .
+        |
+        |<http://graft.test/doc2#offset_27_38> a nif:Phrase ;
+        |  nif:anchorOf "Alan Turing" ;
+        |  nif:beginIndex "27" ;
+        |  nif:endIndex "38" ;
+        |  nif:referenceContext <http://graft.test/doc2> ;
+        |  itsrdf:taIdentRef <http://www.wikidata.org/entity/Q7251> .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_nif_demo")
+    Seq("a.ttl" -> ttl1, "b.ttl" -> ttl2).foreach { case (name, content) =>
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+    }
+    dir.toFile.deleteOnExit()
+    val ctx = contexts(spark, dir.toString)
+    val men = goldMentions(spark, dir.toString)
+    men.join(ctx, "doc_uri").select(
+      col("doc_uri"),
+      col("begin").as("m_begin"),
+      col("end").as("m_end"),
+      col("surface"), col("qid"),
+      length(col("text")).as("ctx_len"),
+      expr("substring(text, `begin` + 1, `end` - `begin`)").equalTo(col("surface"))
+        .as("anchor_ok"))
+  }
 }
