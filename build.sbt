@@ -27,5 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // let standalone `sbt runMain graft.BenchChild` reuse a prep child's
+  // artifact snapshot (graft.Bench passes this -D to its own children)
+  sys.env.get("SPARK_BENCH_ARTIFACTS").map(d => s"-DSPARK_BENCH_ARTIFACTS=$d").toSeq
 Test / parallelExecution := false
