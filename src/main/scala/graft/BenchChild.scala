@@ -205,6 +205,31 @@ object BenchChild {
         // max(5 s, 10% of wall) classifies every observed trial correctly.
         val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
         val maxAttempts = trials + sys.env.getOrElse("SPARK_BENCH_RETRIES", "3").toInt
+        // Pre-attempt calm gate: storms START mid-run too, and a stolen
+        // 8-core attempt can take 3-8x its clean wall (round-4 observation:
+        // 824 s vs ~110 s clean at replicate=256) — retrying INTO the storm
+        // burns budget for zero clean trials. Sampling /proc/stat for a few
+        // seconds before each attempt and deferring while the core-share
+        // steal rate is high converts wasted stolen attempts into a short
+        // wait, bounded so a never-ending storm still degrades to the
+        // min-of-attempts protocol instead of producing no trials.
+        val calmWaitMax = sys.env.getOrElse("SPARK_BENCH_CALM_WAIT", "90").toDouble
+        def waitForCalm(): Unit = {
+          val nproc = Runtime.getRuntime.availableProcessors().toDouble
+          val limit = math.min(calmWaitMax,
+            math.max(0.0, budget * 0.85 - childElapsed))
+          val w0 = System.nanoTime()
+          var waited = 0.0
+          var calm = false
+          while (!calm && waited < limit) {
+            val s0 = cpuJiffies._1
+            Thread.sleep(5000)
+            val d = cpuJiffies._1 - s0
+            calm = d * cores / nproc <= 0.25 // <=0.25 core-share steal-s / 5 s
+            waited = (System.nanoTime() - w0) / 1e9
+            if (!calm) println(f"CALMWAIT ${d}%.1f steal-s in 5 s, waited ${waited}%.0f s")
+          }
+        }
         var ok = 0
         var attempt = 0
         // budget guard: always run at least one attempt; stop asking for
@@ -213,6 +238,7 @@ object BenchChild {
         while (ok < trials && attempt < maxAttempts &&
             (attempt == 0 || childElapsed < budget * 0.85)) {
           attempt += 1
+          waitForCalm()
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
           // ContextCleaner before timing, not during the next trial
           System.gc()
