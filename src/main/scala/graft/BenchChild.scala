@@ -214,10 +214,15 @@ object BenchChild {
         // wait, bounded so a never-ending storm still degrades to the
         // min-of-attempts protocol instead of producing no trials.
         val calmWaitMax = sys.env.getOrElse("SPARK_BENCH_CALM_WAIT", "90").toDouble
+        // cumulative waiting is capped at 30% of the config budget so the
+        // gate can never starve a slow config of its only trial — a config
+        // must always keep enough budget to RUN, steal-flagged or not
+        var calmWaitSpent = 0.0
         def waitForCalm(): Unit = {
           val nproc = Runtime.getRuntime.availableProcessors().toDouble
-          val limit = math.min(calmWaitMax,
-            math.max(0.0, budget * 0.85 - childElapsed))
+          val limit = Seq(calmWaitMax,
+            if (budget == Double.MaxValue) calmWaitMax else budget * 0.3 - calmWaitSpent,
+            math.max(0.0, budget * 0.85 - childElapsed)).min
           val w0 = System.nanoTime()
           var waited = 0.0
           var calm = false
@@ -229,6 +234,7 @@ object BenchChild {
             waited = (System.nanoTime() - w0) / 1e9
             if (!calm) println(f"CALMWAIT ${d}%.1f steal-s in 5 s, waited ${waited}%.0f s")
           }
+          calmWaitSpent += waited
         }
         var ok = 0
         var attempt = 0
@@ -262,16 +268,36 @@ object BenchChild {
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling
         val cpuSecs = cpuCounter(spark)
+        def steal: Double = {
+          val f = scala.io.Source.fromFile("/proc/stat")
+          try f.getLines().next().trim.split("\\s+")(8).toDouble / 100.0
+          catch { case _: Throwable => 0.0 } finally f.close()
+        }
+        // one bounded calm gate before the loop (not per query): a storm at
+        // queries-start otherwise contaminates the whole per-query table
+        val calmMax = sys.env.getOrElse("SPARK_BENCH_CALM_WAIT", "90").toDouble
+        var waited = 0.0
+        var calmOk = false
+        while (!calmOk && waited < calmMax) {
+          val s0 = steal
+          Thread.sleep(5000)
+          calmOk = steal - s0 <= 0.5
+          waited += 5.0
+          if (!calmOk) println(f"CALMWAIT queries waited ${waited}%.0f s")
+        }
         Pipeline.primeArtifacts(spark, artifacts(spark))
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => only.isEmpty || only(n) }
           .foreach { case (name, fn) =>
           val cpu0 = cpuSecs()
+          val st0 = steal
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
           val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          println(f"QT $name%s $secs%.3f ${cpuSecs() - cpu0}%.3f")
+          // trailing tokens (cpu, steal) are ignored by older parsers; the
+          // per-query steal column lets a reader flag contaminated rows
+          println(f"QT $name%s $secs%.3f ${cpuSecs() - cpu0}%.3f ${steal - st0}%.1f")
         }
     }
     spark.stop()
