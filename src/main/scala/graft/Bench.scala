@@ -103,6 +103,15 @@ object Bench {
       (rlo.minSecs / rhi.minSecs) / 4.0,
       if (rhi.cpuSecs > 0) rlo.cpuSecs / rhi.cpuSecs else 0.0)
 
+  /** Share of the remaining wall budget the HEAD of `configsLeft` should
+    * get: weights ∝ 1/cores (per-trial wall scales ~1/cores for the same
+    * input), so a serial config is funded for the same trial COUNT as a
+    * wide one instead of the same wall. Unit-tested in BenchSpec. */
+  def configBudgetShare(configsLeft: Seq[Int]): Double = {
+    val ws = configsLeft.map(c => 1.0 / c)
+    ws.head / ws.sum
+  }
+
   /** Build the driver's ONE JSON line from present fragments only — no
     * conditional trailing separators (round-3's empty-matrix line was
     * unparseable). Unit-tested for the empty/deadline cases in BenchSpec. */
@@ -238,13 +247,17 @@ object Bench {
           .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
       else Seq.empty
 
-    // per-config budget: remaining / configs-left, recomputed after each
-    // config (a fast early config donates its surplus to the later ones,
-    // but a slow one can never starve the rest of the matrix)
+    // per-config budget: remaining split over the configs left, WEIGHTED by
+    // 1/cores (a trial's wall is ~serial-work/cores, so local[1] needs ~4x
+    // local[4]'s budget for the same trial count; the round-4 rehearsal's
+    // uniform split left the slow half of both gate pairs with one trial
+    // each). Recomputed after each config, so a fast early config donates
+    // its surplus to the later ones, but a slow one can never starve the
+    // rest of the matrix.
     val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
     val todo = configs.zipWithIndex
     for ((c, i) <- todo if remaining > 0) {
-      val budget = remaining / (todo.size - i)
+      val budget = remaining * configBudgetShare(configs.drop(i))
       scaleRun(c, budget).foreach(r => results += c -> r)
     }
 

@@ -238,11 +238,20 @@ object BenchChild {
         }
         var ok = 0
         var attempt = 0
-        // budget guard: always run at least one attempt; stop asking for
-        // MORE once ~85% of the budget is spent (the parent's min-of-attempts
-        // fallback makes partial evidence still defensible)
+        // budget guards: always run at least one attempt; after that, only
+        // launch another if it plausibly FITS — the fastest completed trial
+        // (min = least steal-contaminated) plus 20% must fit in what's left
+        // of the budget. The previous spend-85%-then-stop rule launched
+        // trials that the parent's hard kill then destroyed mid-flight,
+        // burning a whole trial's wall for zero evidence; stopping early
+        // instead donates the surplus to the next config.
+        var minTrialSecs = Double.MaxValue
+        def nextFits: Boolean =
+          childElapsed < budget * 0.85 &&
+            (minTrialSecs == Double.MaxValue ||
+              childElapsed + minTrialSecs * 1.2 < budget)
         while (ok < trials && attempt < maxAttempts &&
-            (attempt == 0 || childElapsed < budget * 0.85)) {
+            (attempt == 0 || nextFits)) {
           attempt += 1
           waitForCalm()
           // reclaim per-trial broadcasts/shuffle state via the weak-ref
@@ -262,6 +271,7 @@ object BenchChild {
           val stealShare = steal * cores / nproc
           val clean = stealShare <= math.max(5.0, 0.1 * secs)
           if (clean) ok += 1
+          minTrialSecs = math.min(minTrialSecs, secs)
           println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $attempt%d " +
             f"$steal%.1f ${sys1 - sys0}%.1f $cpu%.3f ${if (clean) "ok" else "stolen"}%s")
         }

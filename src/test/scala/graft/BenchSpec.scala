@@ -79,6 +79,24 @@ class BenchSpec extends AnyFunSuite {
       JDouble(195.0), JDouble(196.0), JDouble(197.0))))
   }
 
+  test("config budgets weight by 1/cores and donate forward") {
+    // driver order: 4,8,2,1,32 — the serial config must get ~4x local[4]'s
+    // share, not an equal slice
+    val s4 = Bench.configBudgetShare(Seq(4, 8, 2, 1, 32))
+    val s1 = Bench.configBudgetShare(Seq(1, 32))
+    assert(math.abs(s4 - 0.25 / (0.25 + 0.125 + 0.5 + 1.0 + 0.03125)) < 1e-9)
+    assert(s1 > 0.96) // nearly all of what's left vs a 32-wide tail
+    assert(math.abs(Bench.configBudgetShare(Seq(8)) - 1.0) < 1e-9)
+    // shares over a whole pass sum to 1 when applied sequentially
+    val cfgs = Seq(4, 8, 2, 1, 32)
+    var rem = 1.0; var spent = 0.0
+    for (i <- cfgs.indices) {
+      val b = rem * Bench.configBudgetShare(cfgs.drop(i))
+      spent += b; rem -= b
+    }
+    assert(math.abs(spent - 1.0) < 1e-9)
+  }
+
   test("all-stolen trials fall back to min-of-attempts") {
     val r = Bench.ScaleResult(1000,
       Seq(trial(8, 90.0, 100.0, clean = false),
