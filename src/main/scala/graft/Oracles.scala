@@ -910,4 +910,19 @@ object Oracles {
       |       regexp_replace(folded, '[^\x00-\x7F]', '', 'g') AS uni,
       |       folded
       |FROM f""".stripMargin
+
+  /** fn_sql: the SQL-registered custom expressions (GraftExtensions) vs
+    * DuckDB's built-ins — jaro_winkler_similarity matches the classic
+    * 0.7-boost definition (same as el_pairs' scorer), and
+    * list_cosine_similarity the index-ordered dot/norms (same as ann_*). */
+  val fnSqlSql: String =
+    """SELECT 'jw' AS fn, a.doc_id AS id,
+      |       round(jaro_winkler_similarity(substring(a.text, 1, 40),
+      |                                     substring(b.text, 1, 40)), 6) AS val
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |UNION ALL
+      |SELECT 'cos' AS fn, e1.vec_id AS id,
+      |       round(list_cosine_similarity(e1.embedding::DOUBLE[],
+      |                                    e2.embedding::DOUBLE[]), 6) AS val
+      |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1""".stripMargin
 }

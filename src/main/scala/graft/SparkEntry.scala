@@ -305,6 +305,27 @@ object SparkEntry {
         graft.sources.Pages.fromDocuments(read(s, dir, "documents")))
         .select(col("url"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"))),
+
+    // ---- SQL function surface -------------------------------------------------
+    "fn_sql" -> ((s, dir) => {
+      // end-to-end through the registered SQL functions (GraftExtensions):
+      // the custom Catalyst expressions must be reachable from plain SQL,
+      // not just the Column API
+      graft.functions.GraftExtensions.register(s)
+      read(s, dir, "documents").createOrReplaceTempView("fn_docs")
+      read(s, dir, "embeddings").createOrReplaceTempView("fn_emb")
+      s.sql("""
+        SELECT 'jw' AS fn, a.doc_id AS id,
+               round(jaro_winkler(substring(a.text, 1, 40),
+                                  substring(b.text, 1, 40)), 6) AS val
+        FROM fn_docs a JOIN fn_docs b ON b.doc_id = a.doc_id + 1
+        UNION ALL
+        SELECT 'cos' AS fn, e1.vec_id AS id,
+               round(cosine_sim(cast(e1.embedding AS array<double>),
+                                cast(e2.embedding AS array<double>)), 6) AS val
+        FROM fn_emb e1 JOIN fn_emb e2 ON e2.vec_id = e1.vec_id + 1
+      """)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,5 +389,6 @@ object SparkEntry {
     "stream_upsert" -> Oracles.streamUpsertSql,
     "mm_extract" -> Oracles.mmExtractSql,
     "mm_features" -> Oracles.mmFeaturesSql,
+    "fn_sql" -> Oracles.fnSqlSql,
   )
 }

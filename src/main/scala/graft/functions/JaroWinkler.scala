@@ -79,7 +79,11 @@ object JaroWinkler {
       i += 1
     }
     val m = matches.toDouble
-    (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+    // transpositions = floor(mismatched aligned pairs / 2): the classic
+    // strcmp95 halving, which DuckDB's jaro_winkler_similarity (the
+    // driver oracle) also uses — keeping the 0.5 for odd mismatch counts
+    // diverges by 0.5/(3m) (caught by the fn_sql oracle on 40-char keys)
+    (m / la + m / lb + (m - t / 2) / m) / 3.0
   }
 
   def similarity(a: String, b: String): Double = {

@@ -28,6 +28,27 @@ object Bridge {
       case _ => ()
     }
 
+  /** Register a Catalyst expression builder as a SQL function on an
+    * ALREADY-RUNNING session (the extensions path, graft.functions
+    * .GraftExtensions, only applies at session construction via
+    * spark.sql.extensions; a library embedded in someone else's session
+    * needs the in-place hook). sessionState is private[sql] — reached
+    * from inside the package like the Column/Expression seams above. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark match {
+      case s: org.apache.spark.sql.classic.SparkSession =>
+        s.sessionState.functionRegistry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GraftExtensions", name),
+          builder)
+      case other => throw new UnsupportedOperationException(
+        s"classic SparkSession required, got ${other.getClass.getName}")
+    }
+  }
+
   /** Drain the async listener bus so SparkListener-accumulated metrics
     * (e.g. the benchmark's per-trial executorCpuTime sum) are complete
     * before they are read. listenerBus is private[spark]; this package
