@@ -8,8 +8,16 @@
 # The loop samples machine-wide steal from /proc/stat and only launches
 # the command after a sample window stays below the threshold.
 set -u
-max_steal_s=${1:-1}
-window_s=${2:-30}
+if [ $# -lt 3 ]; then
+  echo "usage: calm_window.sh <max_steal_secs> <sample_secs> <cmd...>" >&2
+  exit 2
+fi
+case "$1$2" in *[!0-9]*)
+  echo "calm_window: first two args must be integers (got '$1' '$2')" >&2
+  exit 2 ;;
+esac
+max_steal_s=$1
+window_s=$2
 shift 2
 while :; do
   s0=$(awk '/^cpu /{print $9}' /proc/stat)

@@ -14,10 +14,12 @@ import scala.sys.process._
   *
   *   - artifacts are built ONCE in a prep child and snapshotted to parquet
   *     (Pipeline.saveArtifacts); every measurement child loads them;
-  *   - scale configs run CHEAPEST-FIRST (default order 8,2,32) with a
-  *     per-config wall budget of remaining/configsLeft — one slow config
-  *     can no longer zero the whole matrix (round-3: local[2] first ate the
-  *     entire deadline, local[8]/local[32] never ran);
+  *   - scale configs run CHEAPEST-FIRST within each gate pair (default
+  *     order 4,8,2,1,32 — primary 1/4 pair funded before secondary 2/8,
+  *     diagnostic 32 last) with per-config wall budgets weighted by
+  *     1/cores — one slow config can no longer zero the whole matrix
+  *     (round-3: local[2] first ate the entire deadline, local[8]/local[32]
+  *     never ran);
   *   - the JSON line is assembled from a Seq of present fragments joined
   *     with "," (round-3 emitted a trailing comma exactly when the scale
   *     matrix was empty, destroying the degraded-evidence payload;
@@ -181,8 +183,9 @@ object Bench {
     val p = Process(childCmd(mode, cores, budgetSecs)).run(logger)
     val start = elapsed
     // the child self-limits against its budget; the hard kill fires 60s
-    // later so a clean child exit (which preserves all TRIAL lines) wins
-    val hardStop = start + math.min(budgetSecs + 60.0, remaining + start)
+    // later so a clean child exit (which preserves all TRIAL lines) wins —
+    // but never past the global deadline
+    val hardStop = math.min(start + budgetSecs + 60.0, deadline)
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val waiter = new Thread(() => { p.exitValue(); done.set(true) })
     waiter.setDaemon(true)
@@ -208,12 +211,8 @@ object Bench {
     * bench-NAMESPACED dir only (a concurrent test session's shuffle files
     * in the shared default dir are left alone). */
   private def cleanLocalDir(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(benchLocalDir))
-    rm(new java.io.File(artifactsDir))
+    graft.link.Pairs.rmDir(benchLocalDir)
+    graft.link.Pairs.rmDir(artifactsDir)
   }
 
   def main(args: Array[String]): Unit = {

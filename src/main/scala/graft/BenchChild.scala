@@ -25,6 +25,18 @@ object BenchChild {
       .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
       .getOrElse("/dev/shm/graft-spark")
 
+  /** Machine-wide (steal, system) seconds from /proc/stat (first "cpu "
+    * line, jiffies @ USER_HZ=100). ONE parser for both the scale-mode
+    * trial columns and the queries-mode calm gate — the field indices are
+    * kernel ABI and must not drift between the two readers. */
+  private[graft] def procStatSecs: (Double, Double) = {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val p = f.getLines().next().trim.split("\\s+")
+      (p(8).toDouble / 100.0, p(3).toDouble / 100.0) // (steal, system)
+    } catch { case _: Throwable => (0.0, 0.0) } finally f.close()
+  }
+
   def session(cores: Int, forScale: Boolean = false): SparkSession = {
     // Task-packing knobs (stage-log evidence, round 4): with
     // shuffle.partitions = 2*cores, AQE's coalescer and the scratch-snapshot
@@ -177,18 +189,12 @@ object BenchChild {
           java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
             .asScala.map(_.getCollectionTime).sum / 1e3
         }
-        // host steal/system time from /proc/stat (jiffies @ USER_HZ=100):
-        // this VM's hypervisor steals cycles nondeterministically
-        // (observed 2-10x same-config trial spread with flat GC); publishing
-        // the per-trial steal makes host noise distinguishable from engine
-        // regressions in the JSON.
-        def cpuJiffies: (Double, Double) = {
-          val f = scala.io.Source.fromFile("/proc/stat")
-          try {
-            val p = f.getLines().next().trim.split("\\s+")
-            (p(8).toDouble / 100.0, p(3).toDouble / 100.0) // (steal, system)
-          } catch { case _: Throwable => (0.0, 0.0) } finally f.close()
-        }
+        // host steal/system time (BenchChild.procStatSecs): this VM's
+        // hypervisor steals cycles nondeterministically (observed 2-10x
+        // same-config trial spread with flat GC); publishing the per-trial
+        // steal makes host noise distinguishable from engine regressions
+        // in the JSON.
+        def cpuJiffies: (Double, Double) = procStatSecs
         // Steal-aware trials: the hypervisor steals cycles in bursts
         // (observed 193 steal-seconds inside one trial); a trial with high
         // steal exposure is marked "stolen" and retried (bounded), so one
@@ -278,11 +284,7 @@ object BenchChild {
       case "queries" =>
         val only = args.drop(2).toSet // optional name filter for profiling
         val cpuSecs = cpuCounter(spark)
-        def steal: Double = {
-          val f = scala.io.Source.fromFile("/proc/stat")
-          try f.getLines().next().trim.split("\\s+")(8).toDouble / 100.0
-          catch { case _: Throwable => 0.0 } finally f.close()
-        }
+        def steal: Double = procStatSecs._1
         // one bounded calm gate before the loop (not per query): a storm at
         // queries-start otherwise contaminates the whole per-query table
         val calmMax = sys.env.getOrElse("SPARK_BENCH_CALM_WAIT", "90").toDouble

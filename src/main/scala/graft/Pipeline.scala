@@ -151,11 +151,21 @@ object Pipeline {
     }
 
   /** Committed parquet model sink (written by graft.TrainFreeze through
-    * Scoring.saveModel). Resolved relative to the repo root so the driver,
-    * bench children and tests all find it regardless of launcher. */
+    * Scoring.saveModel). A launcher's working directory is not always the
+    * repo root (scripts, forked test JVMs, spark-submit from elsewhere), so
+    * the relative path is resolved by walking UP from the cwd to the first
+    * ancestor that actually contains the artifact; SPARK_GRAFT_MODEL_DIR
+    * overrides outright (the deploy shape: model table at an explicit
+    * warehouse path). */
   def trainedModelPath: String =
-    sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
-      new java.io.File("models/trained_svm").getAbsolutePath)
+    sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR", {
+      val rel = "models/trained_svm"
+      Iterator.iterate(new java.io.File(".").getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null)
+        .map(d => new java.io.File(d, rel))
+        .collectFirst { case f if f.exists() => f.getAbsolutePath }
+        .getOrElse(new java.io.File(rel).getAbsolutePath)
+    })
 
   /** best entity link per mention under the spark.ml-TRAINED model, served
     * THROUGH the model sink: weights are read back from the committed

@@ -61,7 +61,17 @@ object PageRank {
     // partition the working set proportionally to its size: a per-iteration
     // job over 64 near-empty partitions costs more in scheduling than in
     // compute (the graph is joined 16x, so per-round latency multiplies)
-    val eCount = edges.count()
+    // one agg job yields both the size (partitioning) and a content
+    // signature (resume identity): count alone let a DIFFERENT graph with
+    // the same edge count + max qid silently resume from a stale committed
+    // snapshot — weight changes flip the hash, matching the CC loop's
+    // edge-set signature discipline (ConnectedComponents.materialize)
+    val sigRow = edges.agg(
+      count(lit(1)),
+      coalesce(sum(hash(col("src"), col("dst"), col("weight")).cast("long")),
+        lit(0L))).head()
+    val eCount = sigRow.getLong(0)
+    val eHash = sigRow.getLong(1)
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2,
       (eCount / 100000L).toInt + 1))
     val e = edges.select(col("src"), col("dst"), col("weight"))
@@ -77,7 +87,7 @@ object PageRank {
     val root = ckptRoot
       .orElse(spark.conf.getOption("spark.graft.pagerank.snapshotRoot"))
       .filter(_.nonEmpty)
-    val inputId = s"pr-input:$eCount:$lastQid"
+    val inputId = s"pr-input:$eCount:$eHash:$lastQid"
     val Stage = "pr_ranks"
     for {
       r <- root

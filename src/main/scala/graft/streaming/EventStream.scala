@@ -110,10 +110,18 @@ object EventStream {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    // pin the (small: one row per finalized window) result into the block
-    // manager, then delete the whole scratch root NOW — staging, checkpoint
-    // and sink files were accumulating per call on tmpfs (r3 ADVICE)
-    val result = spark.read.parquet(out.toString).localCheckpoint(true)
+    // pin the (small: one row per finalized window x type) result as a
+    // DRIVER-LOCAL relation, then delete the whole scratch root NOW —
+    // staging, checkpoint and sink files were accumulating per call on
+    // tmpfs (r3 ADVICE). localCheckpoint would also free the files but its
+    // blocks die with an executor and recompute would re-scan the deleted
+    // sink (the exact failure Pairs.blockSeq's committed snapshots exist
+    // to avoid); a local relation has no lineage to lose. At scale the
+    // append sink itself IS the durable output — this read-back exists for
+    // the driver's oracle comparison, whose result is windows, not pages.
+    val sink = spark.read.parquet(out.toString)
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     graft.link.Pairs.rmDir(root.toString)
     result
   }

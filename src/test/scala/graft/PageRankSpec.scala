@@ -72,6 +72,34 @@ class PageRankSpec extends AnyFunSuite {
     graft.link.Pairs.rmDir(root)
   }
 
+  test("resume identity is content-based: changed weights refuse a stale snapshot") {
+    val items = DictBuild.parseDump(DictBuild.syntheticDump(spark))
+    val (weighted, lastQid) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
+    val w = weighted.persist()
+    val root = java.nio.file.Files.createTempDirectory("graft_pr_sig").toString
+    PageRank.run(spark, w, lastQid, iterations = 6,
+      ckptRoot = Some(root), ckptEvery = 4)
+    assert(graft.ckpt.Snapshots.latest(spark, root, "pr_ranks").nonEmpty)
+    // same edge COUNT and same lastQid, different weights: redistribute
+    // each src's mass proportionally to dst+1 (still row-normalized, no
+    // longer uniform) — a count-only identity (round-4 regression: inputId
+    // was pr-input:count:lastQid) would resume from the stale ranks above
+    // and converge to the WRONG vector
+    val tot = sum(col("dst") + lit(1.0)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+    val reweighted = w.withColumn("weight", (col("dst") + lit(1.0)) / tot)
+    assert(reweighted.except(w).count() > 0, "reweighting must change the graph")
+    val fromSnap = PageRank.run(spark, reweighted, lastQid, iterations = 16,
+      ckptRoot = Some(root), ckptEvery = 100) // ckptEvery>its: no new commits
+    val fresh = PageRank.run(spark, reweighted, lastQid, iterations = 16)
+    val a = fromSnap.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (q, r) => assert(math.abs(r - b(q)) < 1e-12, s"rank(Q$q)") }
+    w.unpersist()
+    graft.link.Pairs.rmDir(root)
+  }
+
   test("ambiguous surface 'merge': Q8 must outrank Q2 (gold design invariant)") {
     assert(DictSpec.pagerankOf(8) > DictSpec.pagerankOf(2))
     assert(DictSpec.goldQidByKey("merge") == "Q8")
