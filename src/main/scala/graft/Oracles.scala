@@ -468,6 +468,51 @@ object Oracles {
       |  FROM cand)
       |WHERE rk <= 5""".stripMargin
 
+  /** IVF ANN (Ann.ivfTopK): centroids = 16 lowest-id vectors, cell =
+    * argmax-cosine centroid (ties toward the lower cid), queries probe
+    * their 4 nearest cells, exact top-5 re-rank inside probed cells.
+    * list_cosine_similarity matches VectorOps.cosine bit-exactly (proven
+    * by the green ann_topk row), so cell assignment, probe choice and
+    * final ranks agree across engines. */
+  val annIvfSql: String =
+    """WITH emb AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |),
+      |cent AS MATERIALIZED (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+      |         vec AS cvec
+      |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id LIMIT 16)
+      |),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id AS cand_id, cid, vec AS cand_vec FROM (
+      |    SELECT e.vec_id, c.cid, e.vec,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.vec, c.cvec) DESC, c.cid) AS rn
+      |    FROM emb e CROSS JOIN cent c)
+      |  WHERE rn = 1
+      |),
+      |probes AS MATERIALIZED (
+      |  SELECT query_id, cid, qv FROM (
+      |    SELECT e.vec_id AS query_id, c.cid, e.vec AS qv,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.vec, c.cvec) DESC, c.cid) AS rn
+      |    FROM emb e CROSS JOIN cent c
+      |    WHERE e.vec_id % 100 = 0)
+      |  WHERE rn <= 4
+      |),
+      |scored AS (
+      |  SELECT p.query_id, a.cand_id,
+      |         list_cosine_similarity(p.qv, a.cand_vec) AS cos
+      |  FROM probes p JOIN assigned a USING (cid)
+      |  WHERE a.cand_id != p.query_id
+      |)
+      |SELECT query_id, cand_id, round(cos, 6) AS cos, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5""".stripMargin
+
   /** embedding-cosine near-dups over the augmented table (planted scaled
     * copies, float-exact in both engines): same-bucket pairs with exact
     * cosine >= threshold (thresholded unrounded, like ddJaccardSql). */

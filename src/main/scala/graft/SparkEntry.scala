@@ -261,6 +261,10 @@ object SparkEntry {
       // and portable, so the oracle recomputes signatures, bucket join and
       // re-rank exactly in SQL
       graft.sim.Ann.lshTopK(read(s, dir, "embeddings"))),
+    "ann_ivf" -> ((s, dir) =>
+      // inverted-file variant — deterministic centroids, so the oracle
+      // re-derives cells, probes and ranks exactly in SQL
+      graft.sim.Ann.ivfTopK(read(s, dir, "embeddings"))),
 
     // ---- text analysis ------------------------------------------------------
     "ts_langid" -> ((s, dir) =>
@@ -373,6 +377,7 @@ object SparkEntry {
     "el_fold" -> Oracles.elFoldSql,
     "el_clusters" -> Oracles.elClustersSql,
     "ann_lsh" -> Oracles.annLshSql,
+    "ann_ivf" -> Oracles.annIvfSql,
     "dd_exact" -> Oracles.ddExactSql,
     "dd_minhash" -> Oracles.ddMinhashSql,
     "dd_simhash" -> Oracles.ddSimhashSql,

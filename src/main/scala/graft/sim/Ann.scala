@@ -108,6 +108,62 @@ object Ann {
       .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `numCells`
+    * cells around deterministic centroids, then search only the `nprobe`
+    * cells nearest each query — the third point on the exactness/cost
+    * curve after brute force (exact, linear per query) and LSH (cheap,
+    * recall limited by signature collisions).
+    *
+    * Centroids are the `numCells` lowest-id vectors (k-means init without
+    * Lloyd rounds, so the DuckDB oracle derives the identical cells; a
+    * deployment would swap in trained centroids — every downstream shape
+    * is unchanged).
+    *
+    * Scale path: the centroid table is tiny and BROADCAST, so cell
+    * assignment is a scan-local nested loop (K cosines per row) whose
+    * argmax folds MAP-SIDE (groupBy+max partial aggregation — the shuffle
+    * carries one row per vector, never K); the candidate join shuffles on
+    * the CELL id only, touching ~nprobe/numCells of the corpus per query. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100,
+      numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cent = emb.orderBy(col("vec_id")).limit(numCells)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("vec").as("cvec"))
+
+    // argmax cell per vector: max over struct orders by (cosine, -cid), so
+    // ties break toward the lower cell id — same ordering the oracle's
+    // row_number() uses
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("vec"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("vec"))).as("m"))
+      .select(col("vec_id").as("cand_id"), (-col("m.ncid")).as("cid"),
+        col("m.vec").as("cand_vec"))
+
+    // top-nprobe cells per query (window over the tiny query side only)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("query_vec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("query_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("cid"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("query_vec"), col("cand_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** LSH-bucketed ANN: signature equi-join for candidates, exact cosine
     * re-rank inside buckets. Scale path: shuffle on the bucket key only. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100,

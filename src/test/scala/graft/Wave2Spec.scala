@@ -187,6 +187,32 @@ class Wave2Spec extends AnyFunSuite {
     assert(lsh.count() > 0)
   }
 
+  test("ann: ivf with nprobe == numCells degenerates to exact brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = graft.sim.Ann.bruteForceTopK(emb, k = 5)
+    val ivfAll = graft.sim.Ann.ivfTopK(emb, k = 5, numCells = 16, nprobe = 16)
+    // probing every cell searches the whole corpus: same rows, same ranks
+    assert(ivfAll.exceptAll(bf).isEmpty && bf.exceptAll(ivfAll).isEmpty)
+  }
+
+  test("ann: ivf at default nprobe is well-formed and recalls most of exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = graft.sim.Ann.bruteForceTopK(emb, k = 5).cache()
+    val ivf = graft.sim.Ann.ivfTopK(emb, k = 5).cache()
+    val nq = emb.filter(col("vec_id") % 100 === 0).count()
+    assert(ivf.select("query_id").distinct().count() == nq)
+    assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+    // every ivf hit carries the same cosine the exact path computes
+    val joined = ivf.as("i").join(bf.as("b"),
+      Seq("query_id", "cand_id")).filter(col("i.cos") =!= col("b.cos")).count()
+    assert(joined == 0)
+    // recall@5 of the 4/16-cell probe on this corpus (deterministic input):
+    // at least half of the exact neighbors are found
+    val hits = ivf.join(bf, Seq("query_id", "cand_id")).count()
+    assert(hits >= (nq * 5) / 2, s"recall too low: $hits of ${nq * 5}")
+    bf.unpersist(); ivf.unpersist()
+  }
+
   test("multimodal feature extraction: batched, deterministic, normalized") {
     val pages = Pages.fromDocuments(docs.limit(100))
     val f = Pages.extractFeatures(pages).cache()
