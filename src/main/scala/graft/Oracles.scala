@@ -859,6 +859,15 @@ object Oracles {
        |AS t(id, revid, label, n_edges, n_aliases, nb_statements, nb_sitelinks)""".stripMargin
   }
 
+  /** stream_dedup: the streamed union (events + full duplicate copy) deduped
+    * on event_id within the watermark equals the distinct original table;
+    * event_id is the events table's primary key, so DISTINCT is a no-op and
+    * the oracle is a plain projection. */
+  val streamDedupSql: String =
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |       user_id, event_type, value, props
+      |FROM events""".stripMargin
+
   val streamWindowSql: String =
     """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
       |       event_type,

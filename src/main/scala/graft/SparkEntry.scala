@@ -284,6 +284,11 @@ object SparkEntry {
       // finalizes every data window (sentinel protocol), so the emitted
       // files equal the batch aggregation — the scale-path streaming shape
       graft.streaming.EventStream.windowedCountsAppend(s, dir)),
+    "stream_dedup" -> ((s, dir) =>
+      // streaming exact dedup with keyed state (dropDuplicatesWithinWatermark):
+      // events + a full duplicate copy stream through two micro-batches; the
+      // emitted set equals DISTINCT input (oracle = the events table)
+      graft.streaming.EventStream.dedupWithinWatermark(s, dir)),
     "stream_upsert" -> ((s, _) =>
       // REAL Structured Streaming edit-stream upsert: readStream over staged
       // dump files -> foreachBatch merge -> one committed snapshot per batch
@@ -388,6 +393,7 @@ object SparkEntry {
     "ts_quality" -> Oracles.tsQualitySql,
     "ts_tokens" -> Oracles.tsTokensSql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
+    "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,
     // append mode emits exactly the finalized data windows => same oracle
     "stream_window_append" -> Oracles.streamWindowSql,

@@ -126,6 +126,59 @@ object EventStream {
     result
   }
 
+  /** Streaming exact dedup with keyed state — the ingestion-path dedup
+    * shape at 100 TB (drop re-crawled duplicates of a page/event within a
+    * retention window, state evicted by the watermark so it never grows
+    * unboundedly). `dropDuplicatesWithinWatermark` keeps per-key state only
+    * until the watermark passes the key's event time + delay; here the
+    * delay covers the whole corpus span, so the run is deterministic: the
+    * real events arrive as micro-batch 1 and a full duplicate copy as
+    * micro-batch 2, every duplicate key is still in state, and the emitted
+    * set equals the DISTINCT input — the DuckDB oracle is the events table
+    * itself. Append mode + file sink + checkpoint (the stream_window_append
+    * scale pattern); dedup rows emit in the batch they are first seen, so
+    * no watermark-advancing sentinel is needed. */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val root = Paths.get(base, "graft-stream-dedup-" + java.util.UUID.randomUUID())
+    val staging = root.resolve("in"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    Files.createDirectories(staging)
+    val src = Paths.get(sfDir, "events.parquet")
+    // batch 1: the real events; batch 2: a byte-identical duplicate of all
+    // of them (FileStreamSource orders by mtime — stageUpdateFile's rule)
+    for ((name, seq) <- Seq(("batch1.parquet", 0), ("batch2.parquet", 1))) {
+      val f = staging.resolve(name)
+      Files.copy(src, f, StandardCopyOption.COPY_ATTRIBUTES)
+      f.toFile.setLastModified(1000000L + seq * 60000L)
+    }
+
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+      .withWatermark("ts", "87600 hours") // 10 years > corpus span: no eviction
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts").cast("long").as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // pin the result driver-local and free the tmpfs scratch immediately
+    // (same rationale as windowedCountsAppend above)
+    val sink = spark.read.parquet(out.toString)
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    graft.link.Pairs.rmDir(root.toString)
+    result
+  }
+
   /** Stateless stream upsert into the dictionary table (the reference edit
     * stream): each micro-batch of entity updates is merged into the current
     * snapshot by last-write-wins on revid — expressed with foreachBatch +

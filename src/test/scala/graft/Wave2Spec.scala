@@ -130,6 +130,19 @@ class Wave2Spec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup drops the duplicate micro-batch entirely") {
+    val got = graft.streaming.EventStream.dedupWithinWatermark(spark, sf)
+    val events = spark.read
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("long").as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    // input was 2x the table (a full duplicate copy streamed as batch 2);
+    // the emitted set must equal the original rows exactly, each once
+    assert(got.count() == events.count())
+    assert(got.exceptAll(events).isEmpty && events.exceptAll(got).isEmpty)
+  }
+
   test("stream upsert: kill/resume from checkpoint processes only new files") {
     import graft.streaming.EventStream
     import graft.dict.DictSpec
