@@ -238,10 +238,16 @@ object Bench {
     require(prepOk || remaining <= 0, "artifact prep child failed")
 
     // queries first: they are cheap (~2-3 min) and a host storm during the
-    // scale trials must not cost the round its per-query evidence
+    // scale trials must not cost the round its per-query evidence — but
+    // CAPPED: in the round-4 full rehearsal a storm-inflated queries child
+    // ran long enough that the FIRST scale config's budget no longer fit a
+    // single trial (the primary pair lost a side). QT lines stream, so a
+    // hard-killed queries child keeps everything measured so far: the cap
+    // degrades the tail of the per-query table, never the scale matrix.
     val queryTimes =
       if (remaining > 0)
-        runChild("queries", full)._2
+        runChild("queries", full,
+          budgetSecs = math.min(remaining * 0.3, 700.0))._2
           .filter(_.startsWith("QT "))
           .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
       else Seq.empty

@@ -826,6 +826,21 @@ object Oracles {
       |             FROM unnest(string_split(text, ' ')) t(tok)) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
+  /** ts_pack: the global exclusive prefix sum of whitespace-token counts in
+    * doc_id order, sharded at 2048 tokens — the naive one-window SQL form
+    * of the engine's two-phase distributed prefix sum. */
+  val tsPackSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |         COALESCE(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |           OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND 1 PRECEDING) AS BIGINT), 0) AS stream_offset
+      |  FROM documents)
+      |SELECT doc_id, tokens, stream_offset,
+      |       CAST(floor(stream_offset / 2048.0) AS BIGINT) AS shard_id
+      |FROM c""".stripMargin
+
   val tsFingerprintSql: String =
     """WITH ftoks AS MATERIALIZED (
       |  SELECT doc_id,

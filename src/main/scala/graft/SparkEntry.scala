@@ -275,6 +275,10 @@ object SparkEntry {
       graft.textstats.TextStats.tokenCounts(read(s, dir, "documents"))),
     "ts_fingerprint" -> ((s, dir) =>
       graft.textstats.TextStats.fingerprint(read(s, dir, "documents"))),
+    "ts_pack" -> ((s, dir) =>
+      // sequence packing into 2048-token training shards via a two-phase
+      // distributed prefix sum (no single-partition window over the data)
+      graft.textstats.TextStats.pack(read(s, dir, "documents"))),
 
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
@@ -393,6 +397,7 @@ object SparkEntry {
     "ts_quality" -> Oracles.tsQualitySql,
     "ts_tokens" -> Oracles.tsTokensSql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
+    "ts_pack" -> Oracles.tsPackSql,
     "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,
     // append mode emits exactly the finalized data windows => same oracle

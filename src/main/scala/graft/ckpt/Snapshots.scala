@@ -97,6 +97,43 @@ object Snapshots {
     (dir.toString, m)
   }
 
+  /** Full commit history of a stage, oldest first (Iceberg's `.snapshots`
+    * metadata table). Only committed snapshots (manifest in place) appear. */
+  def history(spark: SparkSession, root: String, stage: String): Seq[Manifest] = {
+    val dir = stageDir(root, stage)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .filter(p => Files.exists(p.resolve("_MANIFEST.json")))
+      .toSeq
+      .sortBy(_.getFileName.toString.stripPrefix("snap-").toLong)
+      .map(p => parse(Files.readString(p.resolve("_MANIFEST.json"))))
+  }
+
+  /** Time travel (Iceberg `VERSION AS OF`): read one committed snapshot by
+    * id. Committed data is immutable, so this is just a parquet read of the
+    * snapshot directory. */
+  def readAt(spark: SparkSession, root: String, stage: String,
+      snapshotId: Long): Option[DataFrame] = {
+    val dir = stageDir(root, stage).resolve(s"snap-$snapshotId")
+    if (Files.exists(dir.resolve("_MANIFEST.json")))
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  /** Rollback (Iceberg `rollback_to_snapshot`): make `snapshotId` current
+    * again by committing a NEW snapshot that re-exposes its data, with
+    * lineage recording the rollback source. History is never rewritten —
+    * the bad snapshots stay readable via [[readAt]], exactly like Iceberg's
+    * metadata-pointer rollback. */
+  def rollback(spark: SparkSession, root: String, stage: String,
+      snapshotId: Long): (String, Manifest) = {
+    val df = readAt(spark, root, stage, snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot $stage/snap-$snapshotId under $root"))
+    commit(df, root, stage, inputs = Seq(s"rollback:$stage:$snapshotId"))
+  }
+
   /** Resume-or-compute: if a committed snapshot exists whose lineage matches
     * `inputs`, read it back; otherwise compute, commit, and return. The
     * returned token "<stage>:<id>" feeds downstream stages' lineage. */

@@ -24,11 +24,27 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily lowered to
+    * `n`: a streaming query's state-store partition count is pinned by
+    * this setting at its first checkpoint, and the per-partition fixed
+    * costs (provider init, per-batch commit, one sink file per partition)
+    * dominate these bounded driver-contract streams — measured 2-4x wall
+    * on the stream_* queries at 64 partitions vs 8 for identical results.
+    * On a real cluster with an unbounded stream you size this UP; the
+    * restore in `finally` keeps the session's batch queries untouched. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Tumbling 1-hour windowed counts/sums per event type with a 1-hour
     * watermark, executed as a streaming query into a memory sink and
     * returned as a batch DataFrame (complete mode => equals the batch
     * aggregation over the same files, which is the DuckDB oracle). */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
     val name = "graft_stream_window_" + math.abs(sfDir.hashCode)
     val stream = spark.readStream
       .schema(eventsSchema)
@@ -59,7 +75,8 @@ object EventStream {
     * flushes the finalized state to the sink. The sentinel's own window is
     * never finalized, so the emitted set equals the batch aggregation over
     * the real events — the same DuckDB oracle as the complete-mode query. */
-  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedCountsAppend(spark: SparkSession, sfDir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = spark.conf.getOption("spark.local.dir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
@@ -138,7 +155,8 @@ object EventStream {
     * itself. Append mode + file sink + checkpoint (the stream_window_append
     * scale pattern); dedup rows emit in the batch they are first seen, so
     * no watermark-advancing sentinel is needed. */
-  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = spark.conf.getOption("spark.local.dir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
@@ -283,7 +301,8 @@ object EventStream {
     ()
   }
 
-  def dictUpsertStreamDemo(spark: SparkSession): DataFrame = {
+  def dictUpsertStreamDemo(spark: SparkSession): DataFrame =
+      withShufflePartitions(spark, 8) {
     import graft.dict.DictSpec
     val base = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     val updates = base.resolve("updates"); java.nio.file.Files.createDirectory(updates)

@@ -71,6 +71,39 @@ object TextStats {
         .as("bpe_tokens"))
   }
 
+  /** Sequence packing: shard the corpus token stream (documents
+    * concatenated in doc_id order) into contiguous training shards of
+    * `capacity` whitespace tokens; a document belongs to the shard where
+    * its first token lands — the pack-then-chunk shape that turns a corpus
+    * into fixed-budget pretraining batches. Scale path: the global token
+    * prefix sum is TWO-PHASE (per-range-partition local cumsum + broadcast
+    * partition-boundary offsets, the Pairs.blockSeq pattern) — no
+    * single-partition window over the data anywhere; the only global
+    * window runs over numParts boundary rows on the driver side of a
+    * broadcast. */
+  def pack(docs: DataFrame, capacity: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val numParts = spark.sparkContext.defaultParallelism * 2
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    val part = toks
+      .repartitionByRange(numParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = part.groupBy("pid").agg(sum("tokens").as("ptok"))
+      .withColumn("off", coalesce(sum(col("ptok")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    part
+      .withColumn("local_off", coalesce(sum(col("tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("stream_offset", col("off") + col("local_off"))
+      .select(col("doc_id"), col("tokens"), col("stream_offset"),
+        floor(col("stream_offset") / lit(capacity.toDouble)).as("shard_id"))
+  }
+
   /** deterministic word ids: dense rank over the sorted corpus vocabulary —
     * cross-engine oracle parity at test scale, NOT a scale path (one-task
     * window). [[fingerprint]] with idMode="xxhash64" is the 100 TB path. */

@@ -117,6 +117,45 @@ class Wave2Spec extends AnyFunSuite {
     assert(two.size == 2)
   }
 
+  test("sequence packing: two-phase prefix sum equals the serial scan") {
+    val got = TextStats.pack(docs, capacity = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // serial oracle: scanLeft over doc_id-ordered token counts
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = toks.map(_._2).scanLeft(0L)(_ + _)
+    val want = toks.zip(offsets).map { case ((id, n), off) => (id, n, off, off / 512L) }
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+    // and the packing is non-trivial: multiple shards, every shard's
+    // starting docs fit the declared capacity order (offsets monotone)
+    assert(got.map(_._4).distinct.length > 1)
+  }
+
+  test("snapshot time travel: history, readAt, rollback") {
+    val root = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v1 = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    Snapshots.commit(v0, root, "tbl")
+    Snapshots.commit(v1, root, "tbl", inputs = Seq("tbl:0"))
+    assert(Snapshots.history(spark, root, "tbl").map(_.snapshotId) == Seq(0L, 1L))
+    // VERSION AS OF 0 still reads the old rows after the second commit
+    val at0 = Snapshots.readAt(spark, root, "tbl", 0L).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at0 == Set((1L, "a"), (2L, "b")))
+    assert(Snapshots.readAt(spark, root, "tbl", 99L).isEmpty)
+    // rollback re-exposes snapshot 0 as a NEW commit; history is append-only
+    val (_, m) = Snapshots.rollback(spark, root, "tbl", 0L)
+    assert(m.snapshotId == 2L && m.inputs == Seq("rollback:tbl:0"))
+    val latest = Snapshots.latest(spark, root, "tbl").get._2
+    assert(latest.snapshotId == 2L)
+    val cur = spark.read.parquet(Snapshots.latest(spark, root, "tbl").get._1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur == at0)
+    graft.link.Pairs.rmDir(root)
+  }
+
   test("streaming windowed aggregation equals the batch aggregation") {
     val got = graft.streaming.EventStream.windowedCounts(spark, sf)
     val batch = spark.read
