@@ -266,6 +266,18 @@ object Bench {
       scaleRun(c, budget).foreach(r => results += c -> r)
     }
 
+    // second chance: a config that recorded NOTHING (its share landed in a
+    // storm, or an earlier phase overran into its budget) gets the leftover
+    // wall — storms pass, and one late clean trial beats an empty cell in
+    // the matrix (the round-4 third rehearsal lost local[4], the primary
+    // pair's fast side, exactly this way while 500+ s of deadline went
+    // unused by the configs after it)
+    val missing = configs.filterNot(results.contains)
+    for ((c, i) <- missing.zipWithIndex if remaining > 30) {
+      val budget = remaining * configBudgetShare(missing.drop(i))
+      scaleRun(c, budget).foreach(r => results += c -> r)
+    }
+
     println(emitJson(sfDir, replicate, queryTimes, configs, results.toSeq,
       deadlineHit = remaining <= 0))
   }
