@@ -106,11 +106,18 @@ object Bench {
       if (rhi.cpuSecs > 0) rlo.cpuSecs / rhi.cpuSecs else 0.0)
 
   /** Share of the remaining wall budget the HEAD of `configsLeft` should
-    * get: weights ∝ 1/cores (per-trial wall scales ~1/cores for the same
-    * input), so a serial config is funded for the same trial COUNT as a
-    * wide one instead of the same wall. Unit-tested in BenchSpec. */
+    * get: weights ∝ 1/sqrt(cores). Pure 1/cores ("equal trial counts")
+    * proved storm-fragile in BOTH round-4 full-deadline storm runs: it
+    * hands the serial config the lion's share while the wide configs —
+    * whose walls inflate the MOST under steal (barrier-straggler
+    * amplification) and whose slices are smallest — recorded zero trials
+    * twice (local[4]/local[8] empty, local[1]/local[2] finishing multiple
+    * redundant trials). The serial config is also intrinsically
+    * steal-robust (≤1 % wall spread under active storms, BENCH.md), so it
+    * needs fewer repeats; sqrt splits the difference between equal-wall
+    * and equal-trial funding. Unit-tested in BenchSpec. */
   def configBudgetShare(configsLeft: Seq[Int]): Double = {
-    val ws = configsLeft.map(c => 1.0 / c)
+    val ws = configsLeft.map(c => 1.0 / math.sqrt(c.toDouble))
     ws.head / ws.sum
   }
 

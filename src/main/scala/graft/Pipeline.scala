@@ -182,6 +182,47 @@ object Pipeline {
         Scoring.loadModel(spark, trainedModelPath))
     }
 
+  /** Incremental annotate — the daily-crawl-delta pattern at 100 TB. The
+    * first ingest annotates the day-1 pages and commits BOTH the
+    * annotations and the processed-page set as snapshots; when the grown
+    * crawl arrives, only pages NOT in the committed processed set are
+    * annotated (left_anti on doc_id — annotate is doc-local, so per-doc
+    * results are independent of the batch split) and the union is
+    * committed with lineage pointing at the previous snapshot. The final
+    * state must equal the one-shot batch annotate over the full corpus,
+    * which is exactly el_annotate's DuckDB oracle — so the driver row
+    * checks the resume/delta machinery end-to-end, not just the math. */
+  def annotateIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ckpt.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val docs = documents(spark, sfDir)
+    val a = artifacts(spark)
+    def annotateBatch(batch: DataFrame) =
+      graft.link.FusedAnnotate.annotate(batch, a, Scoring.Params(),
+        Scoring.defaultModel())
+    // day 1: even pages crawled first
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val (annPath1, m1) = Snapshots.commit(annotateBatch(day1), root,
+      "annotations", Seq("crawl:day1"))
+    val (procPath1, mp1) = Snapshots.commit(day1.select("doc_id"), root,
+      "processed", Seq("crawl:day1"))
+    // day 2: the full crawl arrives; anti-join against the COMMITTED
+    // processed set selects the delta (never re-annotating day-1 pages)
+    val delta = docs.join(spark.read.parquet(procPath1), Seq("doc_id"), "left_anti")
+    val (annPath2, _) = Snapshots.commit(
+      spark.read.parquet(annPath1).unionByName(annotateBatch(delta)), root,
+      "annotations",
+      Seq(s"annotations:${m1.snapshotId}", s"processed:${mp1.snapshotId}",
+        "crawl:day2"))
+    // pin driver-local and free the scratch snapshots (same rationale as
+    // the stream queries: the driver compares rows, tmpfs must not grow)
+    val sink = spark.read.parquet(annPath2)
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    graft.link.Pairs.rmDir(root)
+    result
+  }
+
   /** blocked candidate pairs with surface similarity + linkage decision.
     * Stage-cached: el_pairs and el_clusters share one blockSeq snapshot +
     * scoring pass instead of re-running the whole pairing per query. */

@@ -99,6 +99,13 @@ object SparkEntry {
       Pipeline.annotate(s, dir)
         .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
           col("surface"), col("best_qid"))),
+    "el_annotate_incr" -> ((s, dir) =>
+      // incremental crawl-delta annotate through committed snapshots: the
+      // two-phase (day1 commit -> day2 anti-join delta -> union commit)
+      // state must equal the one-shot batch annotate — same oracle
+      Pipeline.annotateIncremental(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"), col("best_qid"))),
     "el_annotate_ctx" -> ((s, dir) =>
       // frozen NON-TRIVIAL model: similarity graph + 2-step propagation +
       // SVM arithmetic + BOW log-likelihood all drive the checked output
@@ -374,6 +381,7 @@ object SparkEntry {
     "el_mentions" -> Oracles.elMentionsSql,
     "el_candidates" -> Oracles.elCandidatesSql,
     "el_annotate" -> Oracles.elAnnotateSql,
+    "el_annotate_incr" -> Oracles.elAnnotateSql,
     "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
     "el_annotate_trained" -> Oracles.elAnnotateTrainedSql,
     "el_annotations" -> Oracles.elAnnotationsSql,

@@ -233,10 +233,16 @@ object FusedAnnotate {
   }
 
   /** Annotate end-to-end with one shuffle. Returns BestLink rows.
-    * strategy: "auto" (size-gated), "broadcast", or "join". */
+    * strategy: "auto" (size-gated), "broadcast", "join", or "salted"
+    * ("join" with the norm_key equi-join routed through
+    * [[graft.plans.SaltedJoin]] — the explicit hot-alias-key salting path
+    * for Zipfian web-mention skew once the dictionary outgrows broadcast;
+    * `saltHotThreshold` is the estimated per-key row count above which a
+    * key is salted). */
   def annotate(docs: DataFrame, a: Pipeline.Artifacts,
       params: Scoring.Params, model: Scoring.SvmModel,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      saltHotThreshold: Long = 500000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -245,7 +251,7 @@ object FusedAnnotate {
 
     val useBroadcast = strategy match {
       case "broadcast" => true
-      case "join" => false
+      case "join" | "salted" => false
       case "auto" => a.dictCount <= BroadcastDictLimit
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")
     }
@@ -269,9 +275,15 @@ object FusedAnnotate {
     } else {
       // join strategy: features flow through the shuffle; the dict never
       // lands on the driver. dictKeys join stays an equi-join (Spark picks
-      // broadcast vs shuffle by stats); feature join keys on qid.
-      val hits = spans
-        .join(a.dictKeys.select("norm_key", "qid"), Seq("norm_key"))
+      // broadcast vs shuffle by stats); feature join keys on qid. "salted"
+      // additionally scatters hot norm_keys over 16 shuffle partitions.
+      val dictKeys = a.dictKeys.select("norm_key", "qid")
+      val keyed =
+        if (strategy == "salted")
+          graft.plans.SaltedJoin.join(spans, dictKeys, "norm_key",
+            salts = 16, hotThreshold = saltHotThreshold)
+        else spans.join(dictKeys, Seq("norm_key"))
+      val hits = keyed
         .join(qidFeatureFrame(a), Seq("qid"))
         .select(col("doc_id"), col("norm_key"), col("start"), col("end"),
           col("surface"), col("qid"), col("label"), col("edges"),

@@ -79,13 +79,17 @@ class BenchSpec extends AnyFunSuite {
       JDouble(195.0), JDouble(196.0), JDouble(197.0))))
   }
 
-  test("config budgets weight by 1/cores and donate forward") {
-    // driver order: 4,8,2,1,32 — the serial config must get ~4x local[4]'s
-    // share, not an equal slice
+  test("config budgets weight by 1/sqrt(cores) and donate forward") {
+    // driver order: 4,8,2,1,32 — the serial config gets 2x local[4]'s
+    // share (sqrt rule: more than equal-wall, less than the storm-fragile
+    // equal-trial 1/cores rule that starved the wide configs twice)
     val s4 = Bench.configBudgetShare(Seq(4, 8, 2, 1, 32))
+    def w(c: Int) = 1.0 / math.sqrt(c.toDouble)
+    val sum = Seq(4, 8, 2, 1, 32).map(w).sum
+    assert(math.abs(s4 - w(4) / sum) < 1e-9)
     val s1 = Bench.configBudgetShare(Seq(1, 32))
-    assert(math.abs(s4 - 0.25 / (0.25 + 0.125 + 0.5 + 1.0 + 0.03125)) < 1e-9)
-    assert(s1 > 0.96) // nearly all of what's left vs a 32-wide tail
+    assert(s1 > 0.84) // most of what's left vs a 32-wide tail
+    assert(s1 < 0.9) // but not the 1/cores near-starvation of the tail
     assert(math.abs(Bench.configBudgetShare(Seq(8)) - 1.0) < 1e-9)
     // shares over a whole pass sum to 1 when applied sequentially
     val cfgs = Seq(4, 8, 2, 1, 32)

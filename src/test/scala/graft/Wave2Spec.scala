@@ -133,6 +133,15 @@ class Wave2Spec extends AnyFunSuite {
     assert(got.map(_._4).distinct.length > 1)
   }
 
+  test("incremental annotate equals the one-shot batch annotate") {
+    val incr = Pipeline.annotateIncremental(spark, sf)
+      .select("doc_id", "start", "end", "surface", "best_qid")
+    val full = Pipeline.annotate(spark, sf)
+      .select("doc_id", "start", "end", "surface", "best_qid")
+    assert(incr.count() > 0)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
   test("snapshot time travel: history, readAt, rollback") {
     val root = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
     val v0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
