@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression audit: the scale claims in README/BENCH.md are pinned as
+  * assertions on the physical plans, so a refactor that silently adds a
+  * shuffle, breaks parquet column pruning, or demotes a broadcast join
+  * fails HERE instead of in a 100x-larger run. Assertions are string-level
+  * over the same `.explain` output a human reviews.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  /** Shuffle exchanges in the tree OUTSIDE InMemoryTableScan subtrees: a
+    * cached relation's stored build plan (the offline artifact stage) is
+    * printed under its scan node but never re-executes per query. Subtree
+    * membership tracked by the "+-" indent depth of the tree rendering. */
+  private def shufflesOutsideCache(p: String): Int = {
+    var cacheDepth = -1
+    var n = 0
+    for (l <- p.linesIterator) {
+      val depth = l.indexOf("+-")
+      if (cacheDepth >= 0 && depth >= 0 && depth <= cacheDepth) cacheDepth = -1
+      if (cacheDepth < 0) {
+        if (l.contains("InMemoryTableScan")) cacheDepth = math.max(depth, 0)
+        else if (l.contains("Exchange hashpartitioning")) n += 1
+      }
+    }
+    n
+  }
+
+  test("fused annotate (broadcast dict) is a SINGLE-shuffle plan") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.link.FusedAnnotate.annotate(docs, a,
+      graft.link.Scoring.Params(), graft.link.Scoring.defaultModel(),
+      strategy = "broadcast"))
+    // one doc-keyed Exchange for the classifier; the dictionary attaches
+    // via BroadcastExchange, never a shuffled join
+    val shuffles = shufflesOutsideCache(p)
+    assert(shuffles == 1, s"expected exactly 1 shuffle exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dict join must not shuffle-sort:\n$p")
+  }
+
+  test("ts_quality scan prunes to (doc_id, text) at the parquet reader") {
+    val p = plan(graft.textstats.TextStats.quality(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    // documents has 5 columns; reading lang/source/n_chars for a 2-column
+    // projection would be a pruning regression
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("dd_exact aggregates map-side (partial_min before the shuffle)") {
+    val p = plan(graft.dedup.Dedup.exactDups(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    assert(p.contains("partial_min"), s"hash agg must combine map-side:\n$p")
+  }
+
+  test("ann brute force broadcasts the query side, never a cartesian") {
+    val p = plan(graft.sim.Ann.bruteForceTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet")))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-k window is per-query, not global
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("query_id")), p)
+  }
+
+  test("ts_pack windows partition by pid and broadcast the boundary offsets") {
+    val p = plan(graft.textstats.TextStats.pack(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    // the per-partition local cumsum must be a pid-partitioned window ...
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("[pid#")), p)
+    // ... and the numParts boundary offsets join back via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
