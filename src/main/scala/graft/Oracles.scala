@@ -611,6 +611,42 @@ object Oracles {
        |             ELSE 0.0 END, 6) AS f1
        |FROM r""".stripMargin
 
+  // ---- gold-phrase match join: labeled training pairs ----------------------
+
+  /** planted gold (surface -> entity) VALUES list from the same
+    * deterministic spec the training path uses (DictSpec.goldQidByKey). */
+  def goldValues: String =
+    DictSpec.goldQidByKey.toSeq.sortBy(_._1)
+      .map { case (k, qid) => s"(${q(k)}, ${q(qid)})" }
+      .mkString(", ")
+
+  /** The reference's gold-phrase match join (classifier.py train path):
+    * candidate tags labeled against the gold judgment set by inner span
+    * match + qid equality — re-derived here by recomputing the candidate
+    * set (mentions x dict x pagerank, top-10 per span) and joining the
+    * inlined gold map on the span's surface. */
+  val elGoldSql: String =
+    s"""WITH $mentionsCtes,
+       |$pagerankCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT m.doc_id, m.m_start, m.m_end, m.surface, d.qid,
+       |         23.0 + ln(p.r) AS rank
+       |  FROM mentions m
+       |  JOIN dict d ON d.norm_key = m.surface
+       |  JOIN pr p ON p.id = CAST(substr(d.qid, 2) AS INTEGER)
+       |),
+       |top AS (
+       |  SELECT doc_id, m_start, m_end, surface, qid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id, m_start, m_end
+       |      ORDER BY rank DESC, qid) AS tag_order
+       |    FROM cand)
+       |  WHERE tag_order <= 10),
+       |gold(gsurface, gold_qid) AS (VALUES $goldValues)
+       |SELECT t.doc_id, t.m_start, t.m_end, t.qid,
+       |       CASE WHEN g.gold_qid = t.qid THEN 1.0 ELSE 0.0 END AS label
+       |FROM top t LEFT JOIN gold g ON g.gsurface = t.surface""".stripMargin
+
   // ---- connected components over the alias-sharing qid graph --------------
 
   val elCcAliasSql: String =

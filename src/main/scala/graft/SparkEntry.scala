@@ -193,6 +193,17 @@ object SparkEntry {
           col("best_qid").as("qid"))
       graft.link.Trainer.evaluateDf(best, gold)
     }),
+    "el_gold" -> ((s, dir) => {
+      // gold-phrase match join (the training path's labeling step): every
+      // candidate tag labeled against the planted gold judgment set via the
+      // production plantedGold + labelTags used by TrainFreeze/crossfit —
+      // the last previously unit-only join now driver-oracled
+      val cands = Pipeline.candidates(s, dir)
+      val gold = graft.link.Trainer.plantedGold(cands)
+      graft.link.Trainer.labelTags(cands, gold)
+        .select(col("doc_id"), col("start").as("m_start"),
+          col("end").as("m_end"), col("qid"), col("label"))
+    }),
     "el_nif" -> ((s, _) =>
       // NIF/Turtle gold-corpus scan (classifier.py:184-195) end-to-end over
       // a staged deterministic corpus: contexts + gold mentions + the
@@ -249,9 +260,15 @@ object SparkEntry {
       graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
         graft.dedup.Dedup.augment(read(s, dir, "documents"))))),
     "dd_jaccard" -> ((s, dir) => {
+      // the shingle-id table feeds BOTH the LSH candidate generation and the
+      // exact-Jaccard verify — compute it once and persist (at 100 TB this
+      // is the materialized intermediate the two stages share)
       val docs = graft.dedup.Dedup.augment(read(s, dir, "documents"))
+      val ids = graft.dedup.Dedup.docShingleIds(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.dedup.Dedup.jaccardVerify(docs,
-        graft.dedup.Dedup.minhashCandidates(docs), 0.5)
+        graft.dedup.Dedup.minhashCandidates(docs, ids = Some(ids)), 0.5,
+        precomputedIds = Some(ids))
     }),
 
     "dd_embed" -> ((s, dir) =>
@@ -389,6 +406,7 @@ object SparkEntry {
     "el_sim" -> Oracles.elSimSql,
     "el_eval" -> Oracles.elEvalSql,
     "el_cc_alias" -> Oracles.elCcAliasSql,
+    "el_gold" -> Oracles.elGoldSql,
     "el_nif" -> Oracles.elNifSql,
     "el_norm" -> Oracles.elNormSql,
     "el_fold" -> Oracles.elFoldSql,

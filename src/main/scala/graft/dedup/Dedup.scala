@@ -89,9 +89,9 @@ object Dedup {
     * sum(v * 31^(h mod rows)) mod P. Candidate pairs = docs sharing any
     * (band, bucket) — an equi-join, linear in collisions. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
-      idMode: String = "rank"): DataFrame = {
+      idMode: String = "rank", ids: Option[DataFrame] = None): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docShingleIds(docs, idMode), numHashes)
+    val sig = minhashSignatures(ids.getOrElse(docShingleIds(docs, idMode)), numHashes)
     val banded = sig
       .withColumn("band", (col("h") / lit(rows)).cast("int"))
       .withColumn("pw", when(col("h") % lit(rows) === 0, lit(1L)).otherwise(lit(31L)))
@@ -124,8 +124,8 @@ object Dedup {
   /** Exact shingle-Jaccard verification of candidate pairs (the verify step
     * after LSH): |A ∩ B| / |A ∪ B| >= threshold. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, threshold: Double,
-      idMode: String = "rank"): DataFrame = {
-    val ids = docShingleIds(docs, idMode)
+      idMode: String = "rank", precomputedIds: Option[DataFrame] = None): DataFrame = {
+    val ids = precomputedIds.getOrElse(docShingleIds(docs, idMode))
     val sizes = ids.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = ids.select(col("doc_id").as("doc1"), col("sid"))
     val b = ids.select(col("doc_id").as("doc2"), col("sid"))
