@@ -946,6 +946,89 @@ object Oracles {
        |FROM pages""".stripMargin
   }
 
+  /** ts_repetition: duplicate word-n-gram fractions (Gopher-style
+    * repetition filter) recomputed with DuckDB list comprehensions over the
+    * same corpus + the same planted 10-words-x5 pathological variants. */
+  val tsRepetitionSql: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         ten || repeat(' ' || ten, 4)
+      |  FROM (SELECT doc_id,
+      |               array_to_string((string_split(text, ' '))[1:10], ' ') AS ten,
+      |               len(string_split(text, ' ')) AS n
+      |        FROM documents WHERE doc_id % 50 = 0)
+      |  WHERE n >= 10),
+      |g AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |         list_transform(range(1, len(t)),
+      |                        i -> t[i] || ' ' || t[i+1]) AS g2,
+      |         list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+      |f AS (
+      |  SELECT doc_id, n_tokens,
+      |         round(CASE WHEN len(g2) > 0
+      |               THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+      |               ELSE 0.0 END, 6) AS dup_bigram_frac,
+      |         round(CASE WHEN len(g3) > 0
+      |               THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+      |               ELSE 0.0 END, 6) AS dup_trigram_frac
+      |  FROM g)
+      |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |       dup_bigram_frac, dup_trigram_frac,
+      |       dup_bigram_frac >= 0.3 AS repetitive
+      |FROM f""".stripMargin
+
+  /** dd_url: canonical-URL dedup re-derived end-to-end — the pages table,
+    * the planted syntactic URL variants, and every canonicalization rewrite
+    * (fragment, sole utm query, case, www., default port, trailing slash)
+    * applied independently with DuckDB's regex engine (all single-match
+    * patterns, so replace-first == Spark's replace-all). */
+  val ddUrlSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT 'https://graft.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+      |         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+      |         doc_id
+      |  FROM documents),
+      |pages AS MATERIALIZED (
+      |  SELECT url, warc_ts FROM base
+      |  UNION ALL
+      |  SELECT CASE doc_id % 40
+      |           WHEN 0 THEN 'HTTPS://GRAFT.EXAMPLE' || substr(url, 22)
+      |           WHEN 10 THEN 'https://www.graft.example' || substr(url, 22)
+      |           WHEN 20 THEN 'https://graft.example:443' || substr(url, 22)
+      |           ELSE url || '/?utm_source=feed#frag'
+      |         END,
+      |         warc_ts + INTERVAL 100000 SECOND
+      |  FROM base WHERE doc_id % 10 = 0),
+      |canon AS (
+      |  SELECT url, warc_ts,
+      |         lower(regexp_extract(no_utm, '^([A-Za-z]+)://', 1)) || '://' ||
+      |         regexp_replace(regexp_replace(
+      |           lower(regexp_extract(no_utm, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |           '^www\.', ''), ':(443|80)$', '') ||
+      |         regexp_replace(
+      |           regexp_extract(no_utm, '^[A-Za-z]+://[^/?#]+(.*)$', 1), '/$', '')
+      |           AS canonical_url
+      |  FROM (SELECT url, warc_ts,
+      |               regexp_replace(regexp_replace(url, '#.*$', ''),
+      |                              '\?utm_[a-z]+=[^&#]*$', '') AS no_utm
+      |        FROM pages)),
+      |ranked AS (
+      |  SELECT canonical_url, url, warc_ts,
+      |         row_number() OVER (PARTITION BY canonical_url
+      |                            ORDER BY warc_ts DESC, url DESC) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY canonical_url) AS INTEGER) AS n_variants,
+      |         max(warc_ts) OVER (PARTITION BY canonical_url) AS last_w,
+      |         min(warc_ts) OVER (PARTITION BY canonical_url) AS first_w
+      |  FROM canon)
+      |SELECT canonical_url, n_variants, url AS kept_url,
+      |       CAST(epoch(last_w) AS BIGINT) AS last_ts,
+      |       CAST(epoch(first_w) AS BIGINT) AS first_ts
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   def mmExtractSql: String = {
     val pre = graft.sources.Pages.HtmlPrefix.length
     val suf = graft.sources.Pages.HtmlSuffix.length

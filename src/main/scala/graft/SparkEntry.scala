@@ -303,6 +303,11 @@ object SparkEntry {
       // sequence packing into 2048-token training shards via a two-phase
       // distributed prefix sum (no single-partition window over the data)
       graft.textstats.TextStats.pack(read(s, dir, "documents"))),
+    "ts_repetition" -> ((s, dir) =>
+      // Gopher-style within-doc repetition filter (duplicate n-gram
+      // fraction) over the corpus + planted pathological repeats
+      graft.textstats.TextStats.repetition(
+        graft.textstats.TextStats.augmentRepetition(read(s, dir, "documents")))),
 
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
@@ -334,6 +339,12 @@ object SparkEntry {
         (graft.sources.Pages.extractTextUdf(col("html")) === col("text"))
           .as("extract_ok"))
     }),
+    "dd_url" -> ((s, dir) =>
+      // canonical-URL dedup over the crawl: syntactic URL variants (case,
+      // www., default port, tracking query/fragment/trailing slash)
+      // collapse to one canonical key; keep the latest crawl per key
+      graft.sources.Pages.urlDedup(graft.sources.Pages.withUrlVariants(
+        graft.sources.Pages.fromDocuments(read(s, dir, "documents"))))),
     "mm_features" -> ((s, dir) =>
       // batched binary feature extraction; the stub decode is a
       // deterministic byte histogram, so the DuckDB oracle re-derives f0
@@ -424,6 +435,8 @@ object SparkEntry {
     "ts_tokens" -> Oracles.tsTokensSql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "ts_pack" -> Oracles.tsPackSql,
+    "ts_repetition" -> Oracles.tsRepetitionSql,
+    "dd_url" -> Oracles.ddUrlSql,
     "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,
     // append mode emits exactly the finalized data windows => same oracle

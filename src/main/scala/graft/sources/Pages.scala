@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The Common-Crawl-style `pages` table (BASELINE.json input_hint):
@@ -64,6 +64,68 @@ object Pages {
     }
     out
   }
+
+  /** Deterministic crawl-noise augmentation for small scale factors: every
+    * 10th page gains a syntactic URL variant of itself — the SAME resource
+    * re-crawled 100k seconds later under a cosmetically different URL
+    * (uppercase authority / www. prefix / explicit :443 / tracking query +
+    * fragment + trailing slash, cycling by doc position). Gives
+    * [[urlDedup]] true positives at test scale, like Dedup.augment. */
+  def withUrlVariants(pages: DataFrame): DataFrame = {
+    val scheme = regexp_extract(col("url"), "^([A-Za-z]+)://", 1)
+    val host = regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)
+    val rest = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    // deterministic portable selector: the doc_id embedded in the url tail
+    // (xxhash64 would be opaque to the cross-engine oracle)
+    val pos = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+    val variantUrl = when(pmod(pos, lit(40)) === 0,
+      concat(upper(scheme), lit("://"), upper(host), rest))
+      .when(pmod(pos, lit(40)) === 10,
+        concat(scheme, lit("://www."), host, rest))
+      .when(pmod(pos, lit(40)) === 20,
+        concat(scheme, lit("://"), host, lit(":443"), rest))
+      .otherwise(concat(scheme, lit("://"), host, rest,
+        lit("/?utm_source=feed#frag")))
+    val variants = pages
+      .filter(pmod(pos, lit(10)) === 0)
+      .select(variantUrl.as("url"),
+        timestamp_add("SECOND", lit(100000), col("warc_ts")).as("warc_ts"),
+        col("html"), col("text"), col("lang"))
+    pages.unionByName(variants)
+  }
+
+  /** Canonical URL: fragment stripped, a sole utm tracking query dropped,
+    * scheme+host lowercased, leading www. and default :443/:80 ports
+    * removed, trailing slash trimmed. Every step is a single-match regex so
+    * the DuckDB oracle applies the identical rewrites. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_[a-z]+=[^&#]*$", "")
+    val scheme = lower(regexp_extract(noUtm, "^([A-Za-z]+)://", 1))
+    val host0 = lower(regexp_extract(noUtm, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = regexp_replace(regexp_replace(host0, "^www\\.", ""),
+      ":(443|80)$", "")
+    val rest = regexp_replace(
+      regexp_extract(noUtm, "^[A-Za-z]+://[^/?#]+(.*)$", 1), "/$", "")
+    concat(scheme, lit("://"), host, rest)
+  }
+
+  /** Canonical-URL dedup — the first stage of every web-crawl pipeline:
+    * group pages by canonical URL, keep the LATEST crawl (max warc_ts,
+    * ties to the lexicographically largest raw url — a total order either
+    * way, chosen because it is one max_by struct), and report the variant
+    * count. ONE hash aggregate, no window, no skew surface; at 100 TB this
+    * is a single shuffle on canonical_url. */
+  def urlDedup(pages: DataFrame): DataFrame =
+    pages
+      .select(canonicalUrl(col("url")).as("canonical_url"), col("url"),
+        col("warc_ts"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).cast("int").as("n_variants"),
+        max_by(col("url"), struct(col("warc_ts"), col("url"))).as("kept_url"),
+        max(col("warc_ts")).cast("long").as("last_ts"),
+        min(col("warc_ts")).cast("long").as("first_ts"))
 
   /** Multimodal feature extraction over opaque binary columns, batched per
     * partition (the Scala analogue of mapInPandas): rows are buffered into

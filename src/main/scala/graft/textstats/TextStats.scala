@@ -104,6 +104,49 @@ object TextStats {
         floor(col("stream_offset") / lit(capacity.toDouble)).as("shard_id"))
   }
 
+  /** word n-grams with multiplicity (positions kept — unlike the dedup
+    * shingles, repetition analysis needs the duplicate instances). */
+  private def ngramsCol(n: Int): Column =
+    when(size(split(col("text"), " ")) >= n,
+      expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+      .otherwise(array())
+
+  /** Deterministic repetition augmentation for small scale factors: every
+    * 50th doc (with >= 10 tokens) gains a pathological variant — its first
+    * 10 words repeated 5 times — so the repetition filter has true
+    * positives to catch at test scale (the analogue of Dedup.augment). */
+  def augmentRepetition(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ten = array_join(slice(toks, 1, 10), " ")
+    val variant = docs
+      .filter(col("doc_id") % 50 === 0 && size(toks) >= 10)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(ten, repeat(concat(lit(" "), ten), 4)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(variant)
+  }
+
+  /** Gopher-style within-document repetition filter: the fraction of word
+    * 2-grams / 3-grams that are duplicate instances (1 - distinct/total).
+    * Boilerplate-heavy or looping generator output scores high; natural
+    * web text stays low (corpus p99 ~0.10). Pure per-row projection over
+    * codegen'd array functions — no shuffle, the 100 TB shape; threshold
+    * 0.3 sits between the natural max (0.13) and the planted repeats
+    * (~0.8). Rae et al. 2021 (Gopher), "repetitious text" filters. */
+  def repetition(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round((size(g) - size(array_distinct(g))).cast("double")
+          / size(g).cast("double"), 6))
+        .otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("int").as("n_tokens"),
+      dupFrac(ngramsCol(2)).as("dup_bigram_frac"),
+      dupFrac(ngramsCol(3)).as("dup_trigram_frac"))
+      .withColumn("repetitive", col("dup_bigram_frac") >= lit(threshold))
+  }
+
   /** deterministic word ids: dense rank over the sorted corpus vocabulary —
     * cross-engine oracle parity at test scale, NOT a scale path (one-task
     * window). [[fingerprint]] with idMode="xxhash64" is the 100 TB path. */

@@ -274,6 +274,56 @@ class Wave2Spec extends AnyFunSuite {
     bf.unpersist(); ivf.unpersist()
   }
 
+  test("repetition filter: planted 10x5 repeats flagged, natural corpus clean") {
+    val rep = TextStats.repetition(TextStats.augmentRepetition(docs)).cache()
+    val planted = rep.filter(col("doc_id") >= 2000000L)
+    assert(planted.count() > 0)
+    // every planted pathological doc is caught...
+    assert(planted.filter(!col("repetitive")).count() == 0)
+    // ...and is far above threshold (10 distinct grams of 49 -> ~0.8)
+    assert(planted.agg(min("dup_bigram_frac")).head().getDouble(0) > 0.5)
+    // natural corpus: nothing flagged (measured max 0.13 at sf0.01)
+    assert(rep.filter(col("doc_id") < 2000000L && col("repetitive")).count() == 0)
+    // hand example: "a b a b a" -> bigrams [a b, b a, a b, b a] -> dup 0.5
+    val hand = TextStats.repetition(Seq((1L, "a b a b a")).toDF("doc_id", "text"))
+      .head()
+    assert(hand.getAs[Double]("dup_bigram_frac") == 0.5)
+    assert(hand.getAs[Double]("dup_trigram_frac") == round2(1.0 / 3, 6))
+    assert(hand.getAs[Boolean]("repetitive"))
+    rep.unpersist()
+  }
+
+  private def round2(x: Double, d: Int): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("canonical-URL dedup: variants collapse, latest crawl kept") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val p = Seq(
+      ("https://a.example/x/1", ts0),
+      ("HTTPS://A.EXAMPLE/x/1", ts1),               // case
+      ("https://www.a.example/x/1", ts0),            // www
+      ("https://a.example:443/x/1", ts0),            // default port
+      ("https://a.example/x/1/?utm_source=feed#f", ts0), // query+frag+slash
+      ("https://b.example/y", ts0)                   // untouched singleton
+    ).toDF("url", "warc_ts")
+    val got = Pages.urlDedup(p).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("https://a.example/x/1", 5, "HTTPS://A.EXAMPLE/x/1"),
+      ("https://b.example/y", 1, "https://b.example/y")))
+    // end-to-end over the synthetic crawl: every variant collapses onto its
+    // base page (canonical set == base url set) and counts add up
+    val pages = Pages.withUrlVariants(Pages.fromDocuments(docs))
+    val dd = Pages.urlDedup(pages).cache()
+    val baseUrls = Pages.fromDocuments(docs).select("url")
+    assert(dd.count() == baseUrls.count())
+    assert(dd.join(baseUrls, dd("canonical_url") === baseUrls("url"), "left_anti")
+      .count() == 0)
+    assert(dd.agg(sum("n_variants")).head().getLong(0) == pages.count())
+    dd.unpersist()
+  }
+
   test("multimodal feature extraction: batched, deterministic, normalized") {
     val pages = Pages.fromDocuments(docs.limit(100))
     val f = Pages.extractFeatures(pages).cache()
