@@ -72,7 +72,8 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  final case class ScaleResult(pages: Long, trials: Seq[Trial]) {
+  final case class ScaleResult(pages: Long, trials: Seq[Trial],
+      warmupSkipped: Boolean = false) {
     private def clean = trials.filter(_.clean)
     /** Representative wall seconds: median over steal-clean trials when any
       * exist (one host storm must not poison the round); under sustained
@@ -162,17 +163,21 @@ object Bench {
       frags += s""""host_steal_secs_$c":${arr(r.trials.map(_.stealSecs))}"""
       frags += s""""cpu_secs_$c":${arr(r.trials.map(_.cpuSecs))}"""
       frags += s""""trial_flags_$c":$flags"""
+      if (r.warmupSkipped) frags += s""""warmup_skipped_$c":true"""
     }
     frags.result().mkString("{", ",", "}")
   }
 
-  private def childCmd(mode: String, cores: Int, budgetSecs: Double): Seq[String] = {
+  private def childCmd(mode: String, cores: Int, budgetSecs: Double,
+      estTrialSecs: Double): Seq[String] = {
     val java = System.getProperty("java.home") + "/bin/java"
     val inherited = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-D"))
       .toSeq
     val heap = sys.env.getOrElse("SPARK_BENCH_CHILD_MEM", "48g")
-    Seq(java) ++ inherited ++ Seq(s"-Xmx$heap",
+    val est = if (estTrialSecs > 0)
+      Seq(f"-DSPARK_BENCH_EST_TRIAL_SECS=$estTrialSecs%.1f") else Seq.empty
+    Seq(java) ++ inherited ++ est ++ Seq(s"-Xmx$heap",
       s"-DSPARK_LOCAL_DIRS_OVERRIDE=$benchLocalDir",
       s"-DSPARK_BENCH_ARTIFACTS=$artifactsDir",
       f"-DSPARK_BENCH_CHILD_BUDGET_SECS=$budgetSecs%.0f",
@@ -182,12 +187,19 @@ object Bench {
 
   /** Run a child, streaming stdout lines into `out`; kill it when its own
     * budget (plus a grace period for clean exit) or the global deadline
-    * passes. Returns (exitOk, lines-so-far). */
+    * passes. Child lines are echoed to STDERR (stdout must stay the one
+    * JSON line) — the round-4 full rehearsal lost two configs with zero
+    * diagnostic trace because the parent swallowed their output.
+    * Returns (exitOk, lines-so-far). */
   private def runChild(mode: String, cores: Int,
-      budgetSecs: Double = Double.MaxValue): (Boolean, Seq[String]) = {
+      budgetSecs: Double = Double.MaxValue,
+      estTrialSecs: Double = 0.0): (Boolean, Seq[String]) = {
     val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val logger = ProcessLogger(l => { out.add(l); () }, _ => ())
-    val p = Process(childCmd(mode, cores, budgetSecs)).run(logger)
+    val tag = f"[$mode%s-$cores%d @${elapsed}%.0fs]"
+    val logger = ProcessLogger(
+      l => { out.add(l); System.err.println(s"$tag $l") },
+      l => System.err.println(s"$tag! $l"))
+    val p = Process(childCmd(mode, cores, budgetSecs, estTrialSecs)).run(logger)
     val start = elapsed
     // the child self-limits against its budget; the hard kill fires 60s
     // later so a clean child exit (which preserves all TRIAL lines) wins —
@@ -202,16 +214,26 @@ object Bench {
       if (remaining <= 0 || elapsed >= hardStop) { killed = true; p.destroy() }
       else Thread.sleep(500)
     }
+    if (killed) {
+      System.err.println(s"$tag hard-killed at budget+grace")
+      // wait (bounded) for the JVM to actually die: letting the next config
+      // start while a killed 48g Spark child is still shutting down
+      // contaminates its measurements with CPU it does not see
+      val w0 = elapsed
+      while (!done.get && elapsed - w0 < 30.0) Thread.sleep(500)
+    }
     (!killed && p.exitValue() == 0, out.iterator().asScala.toSeq)
   }
 
-  private def scaleRun(cores: Int, budgetSecs: Double): Option[ScaleResult] = {
-    val (_, lines) = runChild("scale", cores, budgetSecs)
+  private def scaleRun(cores: Int, budgetSecs: Double,
+      estTrialSecs: Double): Option[ScaleResult] = {
+    val (_, lines) = runChild("scale", cores, budgetSecs, estTrialSecs)
     for {
       pages <- lines.find(_.startsWith("SCALE ")).map(_.split(" ")(2).toLong)
       trials = lines.flatMap(parseTrial)
       if trials.nonEmpty
-    } yield ScaleResult(pages, trials)
+    } yield ScaleResult(pages, trials,
+      warmupSkipped = lines.exists(_.startsWith("WARMUPSKIP")))
   }
 
   /** Stale per-app scratch from killed runs accumulates in tmpfs; wipe the
@@ -231,11 +253,14 @@ object Bench {
     // threads), the regime that models a real cluster (4N executors bring
     // 4x memory bandwidth; one socket does not). 8/32 is reported alongside
     // with the saturation analysis in BENCH.md. Listed order = execution
-    // order: cheapest configs first so a host storm or the deadline late in
-    // the round cannot cost the primary pair both sides; local[1] runs
-    // before local[32] because the 8/32 pair is already capped by the knee,
-    // not by measurement.
-    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "4,8,2,1,32")
+    // order: COMPLETE THE CHEAPEST GATE PAIR FIRST (8 then 2, ~600 s
+    // together), then the expensive 1/4 primary pair, then the diagnostic
+    // 32. The round-4 full rehearsal proved pair-interleaved cheap-first
+    // (4,8,2,1) is storm-fragile: a storm at the head killed 4 AND 8 with
+    // zero trials, 2 and 1 then ate the deadline, and NO pair existed —
+    // whereas 8+2 up front would have banked an efficiency number in the
+    // first ~10 minutes.
+    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,2,4,1,32")
       .split(",").map(_.trim.toInt).toSeq
     cleanLocalDir()
 
@@ -267,10 +292,18 @@ object Bench {
     // its surplus to the later ones, but a slow one can never starve the
     // rest of the matrix.
     val results = scala.collection.mutable.LinkedHashMap.empty[Int, ScaleResult]
+    // trial-time hint for the child's warmup-skip decision: scale the
+    // fastest completed config's min wall by the core ratio (ideal scaling;
+    // a storm makes reality slower, which only makes the skip MORE right)
+    def estFor(c: Int): Double =
+      results.map { case (rc, r) => r.minSecs * rc / c } match {
+        case ests if ests.nonEmpty => ests.min
+        case _ => 0.0
+      }
     val todo = configs.zipWithIndex
     for ((c, i) <- todo if remaining > 0) {
       val budget = remaining * configBudgetShare(configs.drop(i))
-      scaleRun(c, budget).foreach(r => results += c -> r)
+      scaleRun(c, budget, estFor(c)).foreach(r => results += c -> r)
     }
 
     // second chance: a config that recorded NOTHING (its share landed in a
@@ -282,7 +315,7 @@ object Bench {
     val missing = configs.filterNot(results.contains)
     for ((c, i) <- missing.zipWithIndex if remaining > 30) {
       val budget = remaining * configBudgetShare(missing.drop(i))
-      scaleRun(c, budget).foreach(r => results += c -> r)
+      scaleRun(c, budget, estFor(c)).foreach(r => results += c -> r)
     }
 
     println(emitJson(sfDir, replicate, queryTimes, configs, results.toSeq,

@@ -153,6 +153,13 @@ object BenchChild {
         val dir = Option(System.getProperty("SPARK_BENCH_ARTIFACTS"))
           .getOrElse(sys.error("prep mode needs -DSPARK_BENCH_ARTIFACTS"))
         Pipeline.saveArtifacts(Pipeline.buildArtifacts(spark), dir)
+        // snapshot the replicated bench corpus too: the explode+repartition
+        // shuffle cost ~30-90 s PER scale child at the narrow configs (paid
+        // 5x per round), and under a host storm that fixed cost is what
+        // pushed two configs past their budget with zero trials in the
+        // round-4 rehearsal; built once here at full width it is paid once
+        benchDocs(spark, sfDir, replicate)
+          .write.mode("overwrite").parquet(s"$dir/corpus")
         println("PREP done")
       case "scale" =>
         val childT0 = System.nanoTime()
@@ -165,7 +172,15 @@ object BenchChild {
         val cpuSecsF = cpuCounter(spark)
         def cpuSecs: Double = cpuSecsF()
         val a = artifacts(spark) // offline stage, untimed
-        val docs = benchDocs(spark, sfDir, replicate)
+        // corpus: prefer the prep child's parquet snapshot (same 128
+        // partitions for every config — uniform task shape across the gate
+        // pair, and no per-child explode+repartition shuffle); fall back to
+        // building it when running standalone
+        val corpusDir = Option(System.getProperty("SPARK_BENCH_ARTIFACTS"))
+          .map(d => s"$d/corpus")
+          .filter(d => new java.io.File(d).isDirectory)
+        val docs = corpusDir.map(spark.read.parquet(_))
+          .getOrElse(benchDocs(spark, sfDir, replicate))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPages = docs.count()
         println(s"SCALE $cores $nPages")
@@ -174,12 +189,32 @@ object BenchChild {
         // JIT warms on CODE, not data volume, so the warmup runs on a
         // deterministic 1/4 subset of the corpus — on the slow configs a
         // full-size warmup alone ate a third of the config budget in r3.
+        // When the parent's trial-time estimate says warmup+trial cannot
+        // fit the budget, skip the warmup: a cold-JIT trial (flagged by its
+        // own CPU column) beats a warm one the parent hard-kills mid-run —
+        // the round-4 rehearsal lost two whole configs exactly that way.
         val warmups = sys.env.getOrElse("SPARK_BENCH_WARMUPS", "1").toInt
         val warmupDiv = sys.env.getOrElse("SPARK_BENCH_WARMUP_DIV", "4").toInt
-        val warmupDocs =
-          if (warmupDiv <= 1) docs
-          else docs.filter(pmod(col("doc_id"), lit(warmupDiv)) === lit(0))
-        for (_ <- 1 to warmups) {
+        val est = Option(System.getProperty("SPARK_BENCH_EST_TRIAL_SECS"))
+          .map(_.toDouble).getOrElse(0.0)
+        // shrink the warmup subset (JIT warms on code, not volume — 1/32 of
+        // 640k pages still gives every hot loop its 10k invocations) until
+        // warmup+trial fits; only a budget that cannot fit even a 1/32
+        // warmup forfeits it, and that is published (WARMUPSKIP -> a
+        // "warmup_skipped" JSON flag) so a cold-JIT wall number is never
+        // silently presented as a warm one
+        val chosenDiv = Seq(warmupDiv, warmupDiv * 2, warmupDiv * 4,
+            warmupDiv * 8).filter(_ >= 1).find { d =>
+          est <= 0.0 || childElapsed + est * (1.2 + 1.5 / d) < budget * 0.9
+        }
+        if (chosenDiv.isEmpty)
+          println(f"WARMUPSKIP $cores%d est=$est%.0f budget=$budget%.0f")
+        else if (chosenDiv.exists(_ != warmupDiv))
+          println(s"WARMUP shrunk to 1/${chosenDiv.get} to fit budget")
+        for (div <- chosenDiv; _ <- 1 to warmups) {
+          val warmupDocs =
+            if (div <= 1) docs
+            else docs.filter(pmod(col("doc_id"), lit(div)) === lit(0))
           runPipeline(warmupDocs, a)
           System.gc()
           Thread.sleep(1000)

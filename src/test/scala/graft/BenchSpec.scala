@@ -101,6 +101,19 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(spent - 1.0) < 1e-9)
   }
 
+  test("warmup-skipped configs are flagged in the JSON") {
+    val r1 = Bench.ScaleResult(640000,
+      Seq(trial(1, 441.0, 46.7, clean = true, 1, 427.0)),
+      warmupSkipped = true)
+    val r4 = Bench.ScaleResult(640000,
+      Seq(trial(4, 112.0, 1.0, clean = true, 1, 400.0)))
+    val j = parse(Bench.emitJson("/x", 128, Seq.empty, Seq(4, 1),
+      Seq(4 -> r4, 1 -> r1), deadlineHit = false))
+    assert((j \ "warmup_skipped_1") == JBool(true))
+    assert((j \ "warmup_skipped_4") == JNothing)
+    assert((j \ "scaling_pair") == JString("1/4"))
+  }
+
   test("all-stolen trials fall back to min-of-attempts") {
     val r = Bench.ScaleResult(1000,
       Seq(trial(8, 90.0, 100.0, clean = false),
