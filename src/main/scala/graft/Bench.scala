@@ -55,13 +55,19 @@ object Bench {
     * child line (BenchSpec). */
   final case class Trial(cores: Int, secs: Double, gcSecs: Double,
       attempt: Int, stealSecs: Double, sysSecs: Double, cpuSecs: Double,
-      clean: Boolean)
+      clean: Boolean, flag: String = "") {
+    /** Published flag: the child's own word when present ("ok" / "stolen" /
+      * "sys" — the last marks kernel-time storms, round-4 discovery), else
+      * derived from `clean`. */
+    def flagOrDerived: String =
+      if (flag.nonEmpty) flag else if (clean) "ok" else "stolen"
+  }
 
   def parseTrial(line: String): Option[Trial] = {
     val t = line.trim.split("\\s+")
     if (t.length < 9 || t(0) != "TRIAL") None
     else try Some(Trial(t(1).toInt, t(2).toDouble, t(3).toDouble, t(4).toInt,
-      t(5).toDouble, t(6).toDouble, t(7).toDouble, t(8) == "ok"))
+      t(5).toDouble, t(6).toDouble, t(7).toDouble, t(8) == "ok", t(8)))
     catch { case _: NumberFormatException => None }
   }
 
@@ -127,11 +133,14 @@ object Bench {
     * unparseable). Unit-tested for the empty/deadline cases in BenchSpec. */
   def emitJson(sfDir: String, replicate: Int,
       queryTimes: Seq[(String, Double)], configs: Seq[Int],
-      results: Seq[(Int, ScaleResult)], deadlineHit: Boolean): String = {
+      results: Seq[(Int, ScaleResult)], deadlineHit: Boolean,
+      querySteal: Seq[(String, Double)] = Seq.empty): String = {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def qmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val qs = qmap(queryTimes)
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     val pages = results.headOption.map(_._2.pages).getOrElse(0L)
     val pairs = scalingPairs(configs, results.toMap)
@@ -139,6 +148,11 @@ object Bench {
     val frags = Seq.newBuilder[String]
     frags += f""""metric":"total","value":$total%.3f,"unit":"sec""""
     frags += s""""queries":$qs"""
+    // machine-steal seconds observed during each query's wall: the reader's
+    // tool for telling a stormed row (el_candidates once showed 272 steal-s
+    // inside a 31.6 s wall at sf0.01) from an engine regression
+    if (querySteal.nonEmpty)
+      frags += s""""queries_steal":${qmap(querySteal)}"""
     frags += s""""sf":"$sfDir""""
     frags += s""""pipeline_pages":$pages"""
     frags += s""""replicate":$replicate"""
@@ -153,7 +167,7 @@ object Bench {
     }
     if (deadlineHit) frags += """"deadline_hit":true"""
     results.foreach { case (c, r) =>
-      val flags = r.trials.map(t => "\"" + (if (t.clean) "ok" else "stolen") + "\"")
+      val flags = r.trials.map(t => "\"" + t.flagOrDerived + "\"")
         .mkString("[", ",", "]")
       frags += f""""pipeline_secs_$c":${r.secs}%.3f"""
       frags += f""""pipeline_secs_min_$c":${r.minSecs}%.3f"""
@@ -161,6 +175,7 @@ object Bench {
       frags += s""""pipeline_trials_$c":${arr(r.trials.map(_.secs))}"""
       frags += s""""gc_secs_$c":${arr(r.trials.map(_.gcSecs))}"""
       frags += s""""host_steal_secs_$c":${arr(r.trials.map(_.stealSecs))}"""
+      frags += s""""host_sys_secs_$c":${arr(r.trials.map(_.sysSecs))}"""
       frags += s""""cpu_secs_$c":${arr(r.trials.map(_.cpuSecs))}"""
       frags += s""""trial_flags_$c":$flags"""
       if (r.warmupSkipped) frags += s""""warmup_skipped_$c":true"""
@@ -201,10 +216,14 @@ object Bench {
       l => System.err.println(s"$tag! $l"))
     val p = Process(childCmd(mode, cores, budgetSecs, estTrialSecs)).run(logger)
     val start = elapsed
-    // the child self-limits against its budget; the hard kill fires 60s
-    // later so a clean child exit (which preserves all TRIAL lines) wins —
-    // but never past the global deadline
-    val hardStop = math.min(start + budgetSecs + 60.0, deadline)
+    // the child self-limits against its budget; the hard kill fires a grace
+    // period later so a clean child exit (which preserves all TRIAL lines)
+    // wins — but never past the global deadline. Grace scales with the
+    // budget: killing a storm-stretched trial 30 s before it finishes costs
+    // a whole config (sixth rehearsal: scale-8 died trial-less this way)
+    // while the overrun is recouped from the recomputed remaining pool.
+    val grace = math.max(60.0, budgetSecs * 0.25)
+    val hardStop = math.min(start + budgetSecs + grace, deadline)
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val waiter = new Thread(() => { p.exitValue(); done.set(true) })
     waiter.setDaemon(true)
@@ -260,7 +279,14 @@ object Bench {
     // zero trials, 2 and 1 then ate the deadline, and NO pair existed —
     // whereas 8+2 up front would have banked an efficiency number in the
     // first ~10 minutes.
-    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,2,4,1,32")
+    // The diagnostic local[32] config is OFF by default since the sixth
+    // rehearsal: the host entered a multi-hour storm regime (~2.5 of 32
+    // vCPUs continuously stolen, bursts on top) in which the full
+    // five-config matrix cannot fit the deadline — and 8/32's
+    // bandwidth-knee story is already recorded in BENCH.md. Four configs =
+    // two complete gate pairs with real per-config slack. Re-add 32 via
+    // SPARK_BENCH_CONFIGS when the weather allows.
+    val configs = sys.env.getOrElse("SPARK_BENCH_CONFIGS", "8,2,4,1")
       .split(",").map(_.trim.toInt).toSeq
     cleanLocalDir()
 
@@ -276,13 +302,17 @@ object Bench {
     // single trial (the primary pair lost a side). QT lines stream, so a
     // hard-killed queries child keeps everything measured so far: the cap
     // degrades the tail of the per-query table, never the scale matrix.
-    val queryTimes =
+    val queryLines =
       if (remaining > 0)
         runChild("queries", full,
           budgetSecs = math.min(remaining * 0.3, 700.0))._2
           .filter(_.startsWith("QT "))
-          .map { l => val p = l.split(" "); (p(1), p(2).toDouble) }
+          .map(_.split(" "))
       else Seq.empty
+    val queryTimes = queryLines.map(p => (p(1), p(2).toDouble))
+    val querySteal = queryLines.collect {
+      case p if p.length > 4 => (p(1), p(4).toDouble)
+    }
 
     // per-config budget: remaining split over the configs left, WEIGHTED by
     // 1/cores (a trial's wall is ~serial-work/cores, so local[1] needs ~4x
@@ -319,6 +349,6 @@ object Bench {
     }
 
     println(emitJson(sfDir, replicate, queryTimes, configs, results.toSeq,
-      deadlineHit = remaining <= 0))
+      deadlineHit = remaining <= 0, querySteal = querySteal))
   }
 }

@@ -32,6 +32,13 @@ class BenchSpec extends AnyFunSuite {
     val stolen = Bench.parseTrial(
       "TRIAL 2 287.400 3.100 4 655.0 12.0 180.500 stolen").get
     assert(!stolen.clean)
+    assert(stolen.flagOrDerived == "stolen")
+    // kernel-storm flag (round 4): high machine-sys, low steal
+    val sysStorm = Bench.parseTrial(
+      "TRIAL 8 238.649 5.059 1 41.7 1377.4 1777.934 sys").get
+    assert(!sysStorm.clean)
+    assert(sysStorm.flagOrDerived == "sys")
+    assert(sysStorm.sysSecs == 1377.4)
     assert(Bench.parseTrial("SCALE 8 320000").isEmpty)
     assert(Bench.parseTrial("TRIAL garbage").isEmpty)
   }
@@ -77,6 +84,9 @@ class BenchSpec extends AnyFunSuite {
       JString("ok"), JString("ok"), JString("stolen"))))
     assert((j \ "cpu_secs_2") == JArray(List(
       JDouble(195.0), JDouble(196.0), JDouble(197.0))))
+    // machine-sys per trial published (kernel-storm visibility)
+    assert((j \ "host_sys_secs_2") == JArray(List(
+      JDouble(2.0), JDouble(2.0), JDouble(2.0))))
   }
 
   test("config budgets weight by 1/sqrt(cores) and donate forward") {
@@ -99,6 +109,19 @@ class BenchSpec extends AnyFunSuite {
       spent += b; rem -= b
     }
     assert(math.abs(spent - 1.0) < 1e-9)
+  }
+
+  test("per-query steal map is published when present") {
+    val j = parse(Bench.emitJson("/x", 128,
+      Seq("el_candidates" -> 31.638, "q1_agg" -> 0.458), Seq(8, 2),
+      Seq.empty, deadlineHit = false,
+      querySteal = Seq("el_candidates" -> 272.2, "q1_agg" -> 0.0)))
+    assert((j \ "queries_steal" \ "el_candidates") == JDouble(272.2))
+    assert((j \ "queries" \ "el_candidates") == JDouble(31.638))
+    // absent when the child predates the steal column
+    val j2 = parse(Bench.emitJson("/x", 1, Seq("a" -> 1.0), Seq(2),
+      Seq.empty, deadlineHit = false))
+    assert((j2 \ "queries_steal") == JNothing)
   }
 
   test("warmup-skipped configs are flagged in the JSON") {
