@@ -737,7 +737,8 @@ object Oracles {
     s"""$dedupBaseCtes,
        |sig AS MATERIALIZED (
        |  SELECT doc_id, t.h,
-       |         min(((1 + 37 * t.h) * sid + (11 + 17 * t.h)) % 2147483647) AS v
+       |         min(((1 + 37 * t.h) * ((sid * 2654435761) % 2147483647)
+       |              + (11 + 17 * t.h)) % 2147483647) AS v
        |  FROM dids, range(0, 8) t(h)
        |  GROUP BY doc_id, t.h
        |),
@@ -794,6 +795,58 @@ object Oracles {
        |JOIN szs s1 ON s1.doc_id = i.doc1
        |JOIN szs s2 ON s2.doc_id = i.doc2
        |WHERE CAST(i.common AS DOUBLE) / CAST(s1.sz + s2.sz - i.common AS DOUBLE) >= 0.5""".stripMargin
+
+  /** dd_clusters: verified near-dup pairs (the ddJaccardSql pipeline) →
+    * undirected reachability closure via a recursive CTE (with self-loops
+    * so isolated docs appear) → cluster = min reachable id, canonical =
+    * most-shingles member (ties: min doc_id), cluster_size. Independent of
+    * the engine's alternating-star algorithm — the oracle only knows graph
+    * reachability. */
+  val ddClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |szs AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM dids GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT c.doc1, c.doc2, count(*) AS common
+       |  FROM cand c
+       |  JOIN dids a ON a.doc_id = c.doc1
+       |  JOIN dids b ON b.doc_id = c.doc2 AND b.sid = a.sid
+       |  GROUP BY c.doc1, c.doc2
+       |),
+       |vp AS MATERIALIZED (
+       |  SELECT i.doc1, i.doc2
+       |  FROM inter i
+       |  JOIN szs s1 ON s1.doc_id = i.doc1
+       |  JOIN szs s2 ON s2.doc_id = i.doc2
+       |  WHERE CAST(i.common AS DOUBLE) / CAST(s1.sz + s2.sz - i.common AS DOUBLE) >= 0.5
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT doc1 AS a, doc2 AS b FROM vp
+       |  UNION SELECT doc2 AS a, doc1 AS b FROM vp
+       |  UNION SELECT doc_id AS a, doc_id AS b FROM aug
+       |),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+       |),
+       |comp AS MATERIALIZED (
+       |  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a
+       |),
+       |mem AS MATERIALIZED (
+       |  SELECT c.doc_id, c.cluster, COALESCE(s.sz, 0) AS sz
+       |  FROM comp c LEFT JOIN szs s USING (doc_id)
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT cluster, doc_id AS canonical, CAST(cnt AS BIGINT) AS cluster_size
+       |  FROM (
+       |    SELECT cluster, doc_id, sz,
+       |           count(*) OVER (PARTITION BY cluster) AS cnt,
+       |           row_number() OVER (PARTITION BY cluster ORDER BY sz DESC, doc_id) AS rn
+       |    FROM mem)
+       |  WHERE rn = 1
+       |)
+       |SELECT mem.doc_id, mem.cluster, canon.canonical, canon.cluster_size
+       |FROM mem JOIN canon USING (cluster)""".stripMargin
 
   val annTopkSql: String =
     """WITH q AS MATERIALIZED (

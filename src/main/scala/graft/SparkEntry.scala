@@ -271,6 +271,12 @@ object SparkEntry {
         precomputedIds = Some(ids))
     }),
 
+    "dd_clusters" -> ((s, dir) =>
+      // crawl dedup end-to-end: LSH -> Jaccard verify -> connected
+      // components -> canonical doc per near-dup cluster (keep-decision)
+      graft.dedup.Dedup.nearDupClusters(s,
+        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+
     "dd_embed" -> ((s, dir) =>
       // embedding-cosine near-dup: LSH buckets -> exact cosine verify,
       // over the deterministically-augmented embeddings (planted dups)
@@ -428,6 +434,7 @@ object SparkEntry {
     "dd_minhash" -> Oracles.ddMinhashSql,
     "dd_simhash" -> Oracles.ddSimhashSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
+    "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,
     "ann_topk" -> Oracles.annTopkSql,
     "ts_langid" -> Oracles.tsLangidSql,

@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale training-data deduplication suite over the `documents` table.
   *
@@ -73,10 +74,16 @@ object Dedup {
   }
 
   /** MinHash signatures: mh_i(doc) = min over shingles of
-    * ((1+37i)*sid + (11+17i)) mod P. One row per (doc, i). */
+    * ((1+37i)*y + (11+17i)) mod P where y = (sid * 2654435761) mod P.
+    * The scatter stage is load-bearing: dense rank-mode sids are tiny, so
+    * affine maps on raw sid never wrap mod P and all "hash functions"
+    * would share one argmin (the min-sid shingle) — one permutation
+    * masquerading as eight. Scattering first makes the family behave as
+    * independent permutations at any sid range. One row per (doc, i). */
   def minhashSignatures(ids: DataFrame, numHashes: Int): DataFrame = {
+    val scat = (col("sid") * lit(2654435761L)) % lit(P)
     val hashes = (0 until numHashes).map { i =>
-      min((lit(1L + 37L * i) * col("sid") + lit(11L + 17L * i)) % lit(P)).as(s"mh_$i")
+      min((lit(1L + 37L * i) * scat + lit(11L + 17L * i)) % lit(P)).as(s"mh_$i")
     }
     val sig = ids.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
     val stacked = (0 until numHashes).map(i =>
@@ -141,6 +148,45 @@ object Dedup {
       // round only the projected column
       .filter(col("jaccard_raw") >= lit(threshold))
       .select(col("doc1"), col("doc2"), round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
+  /** End-to-end crawl dedup decision: LSH candidates -> exact-Jaccard
+    * verify (>= threshold) -> connected components over the verified
+    * near-dup graph -> one row per doc with its cluster (min member id),
+    * the cluster's canonical representative (most shingles, ties to the
+    * smallest doc_id — "keep the longest copy") and the cluster size.
+    * Docs to keep = rows with doc_id == canonical.
+    *
+    * Scale shape: candidate generation and verify are bucketed equi-joins
+    * (linear shuffle), components the O(log n) alternating-star loop
+    * shared with mention clustering (ConnectedComponents.scala), and
+    * canonical selection ONE cluster-keyed struct-max aggregate with
+    * map-side partials — no windows over the corpus. At 100 TB swap
+    * idMode to "xxhash64" (per-row shingle ids, no vocabulary table). */
+  def nearDupClusters(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.5, idMode: String = "rank"): DataFrame = {
+    val ids = docShingleIds(docs, idMode)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verified = jaccardVerify(docs,
+        minhashCandidates(docs, idMode = idMode, ids = Some(ids)),
+        threshold, precomputedIds = Some(ids))
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val comp = graft.link.ConnectedComponents.runWithIsolated(
+      spark, docs.select(col("doc_id")), verified)
+    val sizes = ids.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val members = comp
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .join(sizes, Seq("doc_id"), "left")
+      .withColumn("sz", coalesce(col("sz"), lit(0L)))
+    // canonical = arg-max (sz, -doc_id): a single aggregate, not a window
+    val canon = members.groupBy(col("cluster"))
+      .agg(max(struct(col("sz"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), (-col("m.neg")).as("canonical"),
+        col("cluster_size"))
+    members.join(canon, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("canonical"),
+        col("cluster_size"))
   }
 
   /** Deterministic near-dup augmentation for small scale factors (the

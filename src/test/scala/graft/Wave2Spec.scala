@@ -78,6 +78,49 @@ class Wave2Spec extends AnyFunSuite {
     assert(found.subsetOf(verified))
   }
 
+  test("near-dup clusters are transitive with min-id cluster and longest-doc canonical") {
+    // a 3-chain of overlapping drafts + an unrelated doc: clustering must be
+    // TRANSITIVE (1,2,3 together even if only adjacent pairs verify) with
+    // cluster = min member id and canonical = the most-shingled member
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (10L, t),
+      (20L, t.split(" ").drop(1).mkString(" ")),
+      (30L, t.split(" ").drop(2).mkString(" ")),
+      (99L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((10L, 10L, 3L)))
+    assert(got(20L) == ((10L, 10L, 3L)))
+    assert(got(30L) == ((10L, 10L, 3L)))
+    assert(got(99L) == ((99L, 99L, 1L)))
+
+    // planted corpus dups land in the same cluster, base doc canonical
+    val aug = Dedup.augment(docs)
+    val clustered = Dedup.nearDupClusters(spark, aug).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val paired = clustered.keys.filter(_ >= 1000000L)
+      .filter(v => clustered(v)._1 == clustered(v - 1000000L)._1).toSeq
+    assert(paired.nonEmpty)
+    paired.foreach { v =>
+      val (cl, canon, sz) = clustered(v)
+      // the corpus has its own exact/near dups, so a variant's cluster may
+      // be wider than {base, variant}: assert the invariants instead —
+      // cluster = min member id, size = member count, canonical a member
+      val members = clustered.collect { case (id, (c, _, _)) if c == cl => id }
+      assert(cl == members.min && sz == members.size.toLong
+        && members.exists(_ == canon))
+      // on an unambiguous {base, variant} cluster the base (5 tokens
+      // longer, so strictly more shingles) must be the canonical doc
+      if (members.toSet == Set(v, v - 1000000L)) assert(canon == v - 1000000L)
+    }
+    // singletons point at themselves
+    val single = clustered.collect { case (id, (cl, canon, sz)) if sz == 1L =>
+      (id, cl, canon) }
+    assert(single.nonEmpty && single.forall { case (id, cl, canon) =>
+      cl == id && canon == id })
+  }
+
   test("simhash: near-dups are closer in hamming distance than random docs") {
     val aug = Dedup.augment(docs)
     val fp = Dedup.simhash(Dedup.docShingleIds(aug))
