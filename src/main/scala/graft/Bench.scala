@@ -348,6 +348,23 @@ object Bench {
       scaleRun(c, budget, estFor(c)).foreach(r => results += c -> r)
     }
 
+    // third chance: a config whose EVERY trial is storm-flagged (stolen/sys)
+    // is stuck on the min-of-attempts fallback; one late clean trial flips
+    // it to the clean-median estimator. New trials MERGE into the recorded
+    // result — the flagged attempts stay published (the eighth rehearsal
+    // left scale-8 with a single stolen trial while ~300 s of deadline went
+    // unused, and the 2/8 pair published 0.39 from a 76-steal-second wall)
+    val flaggedOnly = configs.filter(c =>
+      results.get(c).exists(_.trials.forall(!_.clean)))
+    for ((c, i) <- flaggedOnly.zipWithIndex if remaining > 30) {
+      val budget = remaining * configBudgetShare(flaggedOnly.drop(i))
+      scaleRun(c, budget, estFor(c)).foreach { r =>
+        results += c -> results.get(c)
+          .map(old => old.copy(trials = old.trials ++ r.trials))
+          .getOrElse(r)
+      }
+    }
+
     println(emitJson(sfDir, replicate, queryTimes, configs, results.toSeq,
       deadlineHit = remaining <= 0, querySteal = querySteal))
   }

@@ -1152,6 +1152,93 @@ object Oracles {
       |       folded
       |FROM f""".stripMargin
 
+  /** ts_pii: PII counts + redaction re-derived with DuckDB's RE2 engine.
+    * Patterns are shared constants written to mean the same thing in Java
+    * regex and RE2; counts run on the raw text, redaction nests in the same
+    * fixed order (email, phone, ip) with the 'g' flag matching Spark's
+    * replace-all semantics. The planted-PII variants are rebuilt from the
+    * same deterministic spec (every 25th doc, id +4*10^6). */
+  def tsPiiSql: String = {
+    import graft.textstats.TextStats.{PiiEmail, PiiPhone, PiiIp}
+    s"""WITH pcorpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 4000000,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@mail-example.org or call 555-123-4567 alt 310 555 0199'
+       |              || ' from 203.0.113.' || CAST(doc_id % 200 AS VARCHAR)
+       |  FROM documents WHERE doc_id % 25 = 0)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$PiiEmail')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PiiPhone')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$PiiIp')) AS INTEGER) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$PiiEmail', '<EMAIL>', 'g'), '$PiiPhone', '<PHONE>', 'g'),
+       |    '$PiiIp', '<IP>', 'g') AS clean_text
+       |FROM pcorpus""".stripMargin
+  }
+
+  /** ts_sample: language-id (same argmax CTE as ts_langid) + the
+    * deterministic multiplicative-scatter keep decision and per-language
+    * quotas restated arithmetically. */
+  def tsSampleSql: String = {
+    val markers = graft.textstats.TextStats.Markers.map { case (lang, ws) =>
+      s"(${q(lang)}, [${ws.map(q).mkString(", ")}])"
+    }.mkString(", ")
+    val quotaCase = "CASE pred_lang " + graft.textstats.TextStats.SampleQuota
+      .map { case (l, p) => s"WHEN ${q(l)} THEN $p" }.mkString(" ") + " ELSE 0 END"
+    s"""WITH m(lang, words) AS (VALUES $markers),
+       |sscores AS MATERIALIZED (
+       |  SELECT d.doc_id, m.lang,
+       |         len(list_intersect(string_split(d.text, ' '), m.words)) AS hits
+       |  FROM documents d CROSS JOIN m),
+       |slang AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+       |        FROM sscores)
+       |  WHERE rn = 1)
+       |SELECT doc_id, pred_lang,
+       |       CAST(((doc_id * 2654435761) % 1000003) % 1000 AS INTEGER) AS bucket,
+       |       CAST($quotaCase AS INTEGER) AS quota_permille
+       |FROM slang
+       |WHERE ((doc_id * 2654435761) % 1000003) % 1000 < $quotaCase""".stripMargin
+  }
+
+  /** ts_lm: the corpus unigram LM and the per-doc mean negative
+    * log-likelihood re-derived relationally (the reference's BOW smoothing:
+    * ln(1 + c(w)) − ln(1 + V + total)). */
+  val tsLmSql: String =
+    """WITH ltoks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |lt AS MATERIALIZED (SELECT doc_id, word FROM ltoks WHERE length(word) > 0),
+      |lv AS MATERIALIZED (SELECT word, count(*) AS c FROM lt GROUP BY word),
+      |ls AS MATERIALIZED (SELECT sum(c) AS total, count(*) AS v FROM lv)
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+      |       round(ln(1.0 + (SELECT v FROM ls) + (SELECT total FROM ls))
+      |             - avg(ln(1.0 + c)), 6) AS avg_nll
+      |FROM lt JOIN lv USING (word)
+      |GROUP BY doc_id""".stripMargin
+
+  /** dd_decontam: the benchmark gram set (8-gram at tokens 3..10 of every
+    * 37th doc), every document's 8-grams via a list comprehension, and the
+    * contamination report re-derived independently. */
+  val ddDecontamSql: String =
+    """WITH dt AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bench AS MATERIALIZED (
+      |  SELECT DISTINCT array_to_string(t[3:10], ' ') AS gram
+      |  FROM dt WHERE doc_id % 37 = 0 AND len(t) >= 10),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |                                       i -> array_to_string(t[i:i+7], ' '))) AS gram
+      |  FROM dt WHERE len(t) >= 8)
+      |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits,
+      |       min(gram) AS sample_gram
+      |FROM grams JOIN bench USING (gram)
+      |GROUP BY doc_id""".stripMargin
+
   /** fn_sql: the SQL-registered custom expressions (GraftExtensions) vs
     * DuckDB's built-ins — jaro_winkler_similarity matches the classic
     * 0.7-boost definition (same as el_pairs' scorer), and

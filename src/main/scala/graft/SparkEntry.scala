@@ -314,6 +314,23 @@ object SparkEntry {
       // fraction) over the corpus + planted pathological repeats
       graft.textstats.TextStats.repetition(
         graft.textstats.TextStats.augmentRepetition(read(s, dir, "documents")))),
+    "ts_pii" -> ((s, dir) =>
+      // C4-style PII scrub: email/phone/IPv4 counts + fixed-order redaction
+      // as codegen'd regexp projections, over the corpus + planted PII
+      graft.textstats.TextStats.piiScrub(
+        graft.textstats.TextStats.augmentPii(read(s, dir, "documents")))),
+    "ts_sample" -> ((s, dir) =>
+      // stratified language-quota sampling with a deterministic
+      // multiplicative scatter (reproducible across cluster sizes — no rand)
+      graft.textstats.TextStats.sampleByLanguage(read(s, dir, "documents"))),
+    "ts_lm" -> ((s, dir) =>
+      // CCNet-style unigram-LM quality score under the reference's BOW
+      // smoothing: corpus LM fit + per-doc mean negative log-likelihood
+      graft.textstats.TextStats.lmScore(read(s, dir, "documents"))),
+    "dd_decontam" -> ((s, dir) =>
+      // benchmark n-gram decontamination: broadcast benchmark 8-gram set,
+      // per-row n-gram generator, equi-join match, one doc-keyed aggregate
+      graft.dedup.Dedup.decontaminate(read(s, dir, "documents"))),
 
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
@@ -443,6 +460,10 @@ object SparkEntry {
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "ts_pack" -> Oracles.tsPackSql,
     "ts_repetition" -> Oracles.tsRepetitionSql,
+    "ts_pii" -> Oracles.tsPiiSql,
+    "ts_sample" -> Oracles.tsSampleSql,
+    "ts_lm" -> Oracles.tsLmSql,
+    "dd_decontam" -> Oracles.ddDecontamSql,
     "dd_url" -> Oracles.ddUrlSql,
     "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,

@@ -189,6 +189,33 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Benchmark n-gram decontamination (the GPT-3/PaLM training-data
+    * hygiene pass): a document is contaminated when it contains any n-gram
+    * from the benchmark set. The "benchmark" here is a deterministic slice
+    * of the corpus itself — the 8-gram at tokens 3..10 of every 37th doc —
+    * so the check has guaranteed true positives at test scale and the SQL
+    * oracle can rebuild the identical set. Scale shape: the benchmark gram
+    * set is tiny (eval suites are KBs, corpora are TBs) -> broadcast;
+    * document n-grams are a per-row generator, the match an equi-join on
+    * the gram string, the report one doc-keyed aggregate — a linear
+    * shuffle, the shingle pipeline's cost class. */
+  def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bench = docs
+      .filter(col("doc_id") % 37 === 0 && size(toks) >= lit(n + 2))
+      .select(array_join(slice(toks, 3, n), " ").as("gram"))
+      .distinct()
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= n, expr(
+        s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+        .otherwise(array())).as("gram"))
+    grams.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"),
+        min(col("gram")).as("sample_gram"))
+  }
+
   /** Deterministic near-dup augmentation for small scale factors (the
     * driver corpus has no planted near-dups below sf0.1): every 50th doc
     * gets a variant with the first 5 tokens dropped, id +10^6. Pure

@@ -147,6 +147,99 @@ object TextStats {
       .withColumn("repetitive", col("dup_bigram_frac") >= lit(threshold))
   }
 
+  // ---- PII detection & redaction (C4/CCNet-style scrub) -------------------
+
+  /** PII patterns, written to mean the same thing in Java regex (Spark's
+    * codegen'd regexp_* expressions) and RE2 (the DuckDB oracle): ASCII
+    * `\d`/`\b`, bounded classes, no lookaround/backrefs. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic PII augmentation for small scale factors: every 25th doc
+    * gains a variant (id +4*10^6) with one email, two phone formats and one
+    * IPv4 appended, so the scrubber has true positives at test scale. */
+  def augmentPii(docs: DataFrame): DataFrame = {
+    val variant = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail-example.org or call 555-123-4567 alt 310 555 0199"),
+          lit(" from 203.0.113."), (col("doc_id") % 200).cast("string"))
+          .as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(variant)
+  }
+
+  /** PII scrub: count emails / phone numbers / IPv4s on the raw text, then
+    * redact them in a fixed order (email, phone, ip). Pure per-row
+    * projection over codegen'd regexp expressions — no shuffle, the 100 TB
+    * shape (the C4 pipeline's PII pass; Raffel et al. 2020 §2.2). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
+        .cast("int").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0)))
+        .cast("int").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(PiiIp), lit(0)))
+        .cast("int").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>")
+        .as("clean_text"))
+
+  // ---- stratified language-quota sampling ----------------------------------
+
+  /** keep-permille per predicted language: downsample the dominant web
+    * language, keep low-resource ones — the CCNet/ROOTS rebalancing shape. */
+  val SampleQuota: Seq[(String, Int)] = Seq(
+    "en" -> 500, "de" -> 1000, "fr" -> 1000, "es" -> 1000, "und" -> 200)
+
+  /** Stratified sampling by language quota. The keep decision is a
+    * deterministic multiplicative scatter of doc_id (Knuth constant, mod a
+    * 20-bit prime) — NOT rand(): reproducible across runs, cluster sizes
+    * and partitionings, and exactly restatable in the SQL oracle. One
+    * shuffle total (langId's per-doc argmax); the sample filter itself is
+    * per-row arithmetic. */
+  def sampleByLanguage(docs: DataFrame): DataFrame = {
+    val bucket = ((col("doc_id") * lit(2654435761L)) % lit(1000003L)) % lit(1000L)
+    val quota = SampleQuota.tail
+      .foldLeft(when(col("pred_lang") === SampleQuota.head._1,
+        lit(SampleQuota.head._2))) { case (acc, (l, p)) =>
+        acc.when(col("pred_lang") === l, lit(p))
+      }.otherwise(lit(0))
+    langId(docs)
+      .select(col("doc_id"), col("pred_lang"),
+        bucket.cast("int").as("bucket"),
+        quota.cast("int").as("quota_permille"))
+      .filter(col("bucket") < col("quota_permille"))
+  }
+
+  // ---- unigram-LM quality score --------------------------------------------
+
+  /** Unigram-LM document score (the CCNet perplexity-filter shape): train
+    * the corpus unigram LM, then score each document by its mean token
+    * negative log-likelihood under the reference's BOW smoothing
+    * (languagemodel.py:54-66: ll(w) = ln(1 + c(w)) − ln(1 + V + total)).
+    * Scale: vocabulary counting is one hash aggregate; scoring joins tokens
+    * to the vocab on word (broadcast at test scale, shuffle-hash at 100 TB)
+    * and re-aggregates per doc — the BOW-ingest cost class. The grand
+    * totals are one scalar aggregate fetched to the driver (a single row,
+    * same pattern as PageRank's loss compensation). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val stats = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("v")).head()
+    val logDenom = math.log(1.0 + stats.getLong(1) + stats.getLong(0))
+    toks.join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        avg(log(lit(1.0) + col("c"))).as("mll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(logDenom) - col("mll"), 6).as("avg_nll"))
+  }
+
   /** deterministic word ids: dense rank over the sorted corpus vocabulary —
     * cross-engine oracle parity at test scale, NOT a scale path (one-task
     * window). [[fingerprint]] with idMode="xxhash64" is the 100 TB path. */

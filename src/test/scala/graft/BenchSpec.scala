@@ -145,4 +145,16 @@ class BenchSpec extends AnyFunSuite {
     assert(r.secs == 90.0)
     assert(r.minSecs == 90.0)
   }
+
+  test("a merged clean trial flips a flagged-only config to the clean median") {
+    // the third-chance pass appends new trials to the recorded result
+    val flagged = Bench.ScaleResult(1000,
+      Seq(trial(8, 106.5, 737.9, clean = false)))
+    assert(flagged.secs == 106.5) // min-of-attempts fallback
+    val merged = flagged.copy(trials =
+      flagged.trials ++ Seq(trial(8, 55.2, 380.0, clean = true)))
+    assert(merged.secs == 55.2)      // clean median takes over
+    assert(merged.minSecs == 55.2)   // and the min updates
+    assert(merged.trials.size == 2)  // the stolen attempt stays published
+  }
 }

@@ -71,6 +71,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("query_id")), p)
   }
 
+  test("ts_pii is a shuffle-free per-row projection (scan -> project -> union)") {
+    val p = plan(graft.textstats.TextStats.piiScrub(
+      graft.textstats.TextStats.augmentPii(
+        spark.read.parquet(s"$sf/documents.parquet"))))
+    assert(shufflesOutsideCache(p) == 0, s"pii scrub must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapElements"),
+      s"pii scrub must stay in codegen'd expressions:\n$p")
+  }
+
+  test("dd_decontam broadcasts the benchmark gram set, never shuffle-joins it") {
+    val p = plan(graft.dedup.Dedup.decontaminate(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"benchmark join must not shuffle the corpus grams:\n$p")
+  }
+
   test("ts_pack windows partition by pid and broadcast the boundary offsets") {
     val p = plan(graft.textstats.TextStats.pack(
       spark.read.parquet(s"$sf/documents.parquet")))

@@ -367,6 +367,76 @@ class Wave2Spec extends AnyFunSuite {
     dd.unpersist()
   }
 
+  test("pii scrub: planted email/phone/ip all counted and redacted") {
+    val scrubbed = TextStats.piiScrub(TextStats.augmentPii(docs)).cache()
+    val planted = scrubbed.filter(col("doc_id") >= 4000000L)
+    assert(planted.count() == docs.filter(col("doc_id") % 25 === 0).count())
+    // every planted variant: exactly 1 email, 2 phones (both formats), 1 ip
+    assert(planted.filter(col("n_emails") < 1 || col("n_phones") < 2 ||
+      col("n_ips") < 1).count() == 0)
+    // nothing planted survives redaction
+    assert(planted.filter(col("clean_text").rlike(TextStats.PiiEmail) ||
+      col("clean_text").rlike(TextStats.PiiPhone) ||
+      col("clean_text").rlike(TextStats.PiiIp)).count() == 0)
+    // hand example pins the exact redacted string
+    val hand = TextStats.piiScrub(Seq(
+      (1L, "mail a.b@x.org tel 555-123-4567 or 310 555 0199 ip 10.0.0.1 end"))
+      .toDF("doc_id", "text")).head()
+    assert(hand.getInt(1) == 1 && hand.getInt(2) == 2 && hand.getInt(3) == 1)
+    assert(hand.getString(4) == "mail <EMAIL> tel <PHONE> or <PHONE> ip <IP> end")
+    scrubbed.unpersist()
+  }
+
+  test("language-quota sampling: deterministic scatter, quotas respected") {
+    val lang = TextStats.langId(docs).cache()
+    val sampled = TextStats.sampleByLanguage(docs).cache()
+    // every kept row obeys its quota; reruns are identical (no rand)
+    assert(sampled.filter(col("bucket") >= col("quota_permille")).count() == 0)
+    val again = TextStats.sampleByLanguage(docs)
+    assert(sampled.exceptAll(again).count() == 0 &&
+      again.exceptAll(sampled).count() == 0)
+    // full-quota languages (de/fr/es at 1000 permille) are kept completely
+    val full = lang.filter(col("pred_lang").isin("de", "fr", "es")).count()
+    assert(sampled.filter(col("pred_lang").isin("de", "fr", "es")).count() == full)
+    // the sampled set is a strict subset when any partial quota applies
+    assert(sampled.count() < lang.count())
+    lang.unpersist(); sampled.unpersist()
+  }
+
+  test("unigram-LM score: hand corpus matches closed form") {
+    // vocab: c(a)=2 c(b)=2 c(c)=1, total=5, V=3 -> denom = ln(9)
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextStats.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val denom = math.log(9.0)
+    assert(got(1L)._1 == 3)
+    assert(got(1L)._2 == round2(denom - math.log(3.0), 6))
+    assert(got(2L)._1 == 2)
+    assert(got(2L)._2 == round2(denom - (math.log(3.0) + math.log(2.0)) / 2, 6))
+    // corpus-wide: every doc scored, scores positive (nll of a finite LM)
+    val full = TextStats.lmScore(docs)
+    assert(full.count() == docs.count())
+    assert(full.filter(col("avg_nll") <= 0).count() == 0)
+  }
+
+  test("decontamination: planted benchmark grams found in their source docs") {
+    val hits = Dedup.decontaminate(docs).cache()
+    // every benchmark-contributing doc is (at least) self-contaminated
+    val contributors = docs.filter(col("doc_id") % 37 === 0 &&
+      size(split(col("text"), " ")) >= 10).select("doc_id")
+    assert(contributors.join(hits, Seq("doc_id"), "left_anti").count() == 0)
+    // hand corpus: doc 0 contributes tokens 3..10; doc 5 embeds them, doc 6 no
+    val bench = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, bench),
+      (5L, "x y " + (3 to 10).map(i => s"w$i").mkString(" ") + " z"),
+      (6L, "completely different words only here now")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (5L, 1L)))
+    hits.unpersist()
+  }
+
   test("multimodal feature extraction: batched, deterministic, normalized") {
     val pages = Pages.fromDocuments(docs.limit(100))
     val f = Pages.extractFeatures(pages).cache()
