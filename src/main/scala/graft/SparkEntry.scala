@@ -331,6 +331,11 @@ object SparkEntry {
       // benchmark n-gram decontamination: broadcast benchmark 8-gram set,
       // per-row n-gram generator, equi-join match, one doc-keyed aggregate
       graft.dedup.Dedup.decontaminate(read(s, dir, "documents"))),
+    "dd_decontam_bloom" -> ((s, dir) =>
+      // same semantics via the past-broadcast-limit path: Bloom pre-filter
+      // on the exploded n-grams + exact residual join; row-identical to
+      // dd_decontam by construction, so it shares that oracle verbatim
+      graft.dedup.Dedup.decontaminateBloom(read(s, dir, "documents"))),
 
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
@@ -464,6 +469,8 @@ object SparkEntry {
     "ts_sample" -> Oracles.tsSampleSql,
     "ts_lm" -> Oracles.tsLmSql,
     "dd_decontam" -> Oracles.ddDecontamSql,
+    // exact-by-construction Bloom variant: same result set, same oracle
+    "dd_decontam_bloom" -> Oracles.ddDecontamSql,
     "dd_url" -> Oracles.ddUrlSql,
     "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,

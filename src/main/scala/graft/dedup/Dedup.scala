@@ -200,6 +200,17 @@ object Dedup {
     * the gram string, the report one doc-keyed aggregate — a linear
     * shuffle, the shingle pipeline's cost class. */
   def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val (bench, grams) = decontamInputs(docs, n)
+    grams.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"),
+        min(col("gram")).as("sample_gram"))
+  }
+
+  /** (benchmark gram set, per-doc n-gram generator) shared by the broadcast
+    * and Bloom decontamination paths — one definition so the two strategies
+    * cannot drift. */
+  private def decontamInputs(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val toks = split(col("text"), " ")
     val bench = docs
       .filter(col("doc_id") % 37 === 0 && size(toks) >= lit(n + 2))
@@ -210,10 +221,44 @@ object Dedup {
         s"transform(sequence(0, size(split(text, ' ')) - $n), " +
           s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
         .otherwise(array())).as("gram"))
-    grams.join(broadcast(bench), Seq("gram"))
+    (bench, grams)
+  }
+
+  /** Decontamination for benchmark sets past the broadcast limit. The
+    * broadcast path above assumes the gram set fits every executor as raw
+    * strings; a full eval-suite union at production scale (hundreds of
+    * millions of grams) does not. This variant ships only a Bloom filter of
+    * the set (~10 bits/gram at 1% fpp — 100M grams ≈ 120 MB vs many GB of
+    * strings), applies it as a scan-side pre-filter on the exploded corpus
+    * n-grams, and restores EXACTNESS with a residual equi-join against the
+    * real gram table: only true hits plus the ~fpp false positives reach
+    * the shuffle, so the join traffic is proportional to contamination, not
+    * to corpus size. Result is row-identical to `decontaminate` (pinned by
+    * Wave2Spec's differential and by sharing its DuckDB oracle in the
+    * driver contract). The `mightContain` probe is a Scala UDF — the one
+    * place the non-codegen cost is justified, because it deletes ~all rows
+    * before the shuffle; the residual join is left unhinted so AQE picks
+    * broadcast at test scale and shuffle-hash at eval-suite scale. */
+  def decontaminateBloom(docs: DataFrame, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val (bench, grams) = decontamInputs(docs, n)
+    val spark = docs.sparkSession
+    val persisted = bench.persist(StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(1000L, persisted.count())
+    val bloom = persisted.stat.bloomFilter("gram", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val out = grams.filter(mightContain(col("gram")))
+      .join(bench, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"),
         min(col("gram")).as("sample_gram"))
+    // the persist only backs the two eager passes just taken (count + bloom
+    // build); release it now rather than leak session-lifetime cache — the
+    // lazy residual join recomputes the gram table once at action time
+    persisted.unpersist(false)
+    out
   }
 
   /** Deterministic near-dup augmentation for small scale factors (the

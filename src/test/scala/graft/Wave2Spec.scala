@@ -437,6 +437,21 @@ class Wave2Spec extends AnyFunSuite {
     hits.unpersist()
   }
 
+  test("decontamination: Bloom pre-filter path is row-identical to broadcast") {
+    // the scale strategy (Bloom scan-side pre-filter + exact residual join)
+    // must be indistinguishable from the broadcast equi-join — same rows,
+    // same n_hits, same sample_gram — on the full sf0.001 corpus
+    val broadcastPath = Dedup.decontaminate(docs)
+    val bloomPath = Dedup.decontaminateBloom(docs)
+    assert(broadcastPath.count() > 0)
+    assert(broadcastPath.exceptAll(bloomPath).count() == 0)
+    assert(bloomPath.exceptAll(broadcastPath).count() == 0)
+    // and a hostile fpp (bloom passes nearly everything) still yields the
+    // exact result — correctness never rides on the filter, only traffic
+    val sloppy = Dedup.decontaminateBloom(docs, fpp = 0.5)
+    assert(sloppy.exceptAll(broadcastPath).count() == 0)
+  }
+
   test("multimodal feature extraction: batched, deterministic, normalized") {
     val pages = Pages.fromDocuments(docs.limit(100))
     val f = Pages.extractFeatures(pages).cache()
