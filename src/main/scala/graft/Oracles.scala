@@ -770,7 +770,7 @@ object Oracles {
     s"""WITH $dedupBaseCtes,
        |bits AS (
        |  SELECT doc_id, t.b,
-       |         sum(CASE WHEN ((sid * 2654435761 + 40503 * (t.b + 1)) % 2147483647) % 2 = 1
+       |         sum(CASE WHEN ((sid::HUGEINT * 11400714819323198485) >> (16 + t.b)) & 1 = 1
        |             THEN 1 ELSE -1 END) AS s
        |  FROM dids, range(0, 32) t(b)
        |  GROUP BY doc_id, t.b
@@ -778,6 +778,34 @@ object Oracles {
        |SELECT doc_id,
        |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** dd_simhash_pairs: the ddSimhashSql fingerprint CTE + Manku-style
+    * Hamming banding — 4 contiguous 8-bit blocks, equi-join on
+    * (band, block), exact bit_count(xor) <= 3 on candidates. */
+  val ddSimhashPairsSql: String =
+    s"""WITH $dedupBaseCtes,
+       |bits AS (
+       |  SELECT doc_id, t.b,
+       |         sum(CASE WHEN ((sid::HUGEINT * 11400714819323198485) >> (16 + t.b)) & 1 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM dids, range(0, 32) t(b)
+       |  GROUP BY doc_id, t.b
+       |),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, simhash, t.b AS band,
+       |         (simhash >> (t.b * 8)) & 255 AS key
+       |  FROM fp, range(0, 4) t(b)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a
+       |JOIN banded b ON b.band = a.band AND b.key = a.key AND b.doc_id > a.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   val ddJaccardSql: String =
     s"""WITH $minhashCtes,

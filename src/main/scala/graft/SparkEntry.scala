@@ -259,6 +259,13 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
         graft.dedup.Dedup.augment(read(s, dir, "documents"))))),
+    "dd_simhash_pairs" -> ((s, dir) =>
+      // Manku-style Hamming banding over the dd_simhash fingerprints:
+      // equi-join on (band, 8-bit block), exact bit_count(xor)<=3 verify
+      // on candidates only — the SimHash analogue of MinHash LSH
+      graft.dedup.Dedup.simhashCandidates(
+        graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
+          graft.dedup.Dedup.augment(read(s, dir, "documents")))))),
     "dd_jaccard" -> ((s, dir) => {
       // the shingle-id table feeds BOTH the LSH candidate generation and the
       // exact-Jaccard verify — compute it once and persist (at 100 TB this
@@ -455,6 +462,7 @@ object SparkEntry {
     "dd_exact" -> Oracles.ddExactSql,
     "dd_minhash" -> Oracles.ddMinhashSql,
     "dd_simhash" -> Oracles.ddSimhashSql,
+    "dd_simhash_pairs" -> Oracles.ddSimhashPairsSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
     "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,

