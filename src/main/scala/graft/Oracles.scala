@@ -936,6 +936,38 @@ object Oracles {
        |FROM t""".stripMargin
   }
 
+  /** ts_bm25: Okapi BM25 (k1=1.2, b=0.75, RSJ idf) over whitespace tokens,
+    * operation-ordered to mirror the Spark column arithmetic; scores
+    * rounded to 6 BEFORE the top-k ordering so both engines select the
+    * identical row set at the k boundary. */
+  val tsBm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, t.term
+      |  FROM documents, unnest(string_split(text, ' ')) t(term)
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      |  FROM documents
+      |),
+      |q AS (SELECT unnest(['merge','window','scan','vector','customer']) AS term),
+      |tf AS MATERIALIZED (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+      |  FROM tok JOIN q USING (term)
+      |  GROUP BY doc_id, term
+      |),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 6)
+      |         AS score
+      |FROM tf, dfq, stats
+      |WHERE tf.term = dfq.term
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id
+      |LIMIT 20""".stripMargin
+
   val tsTokensSql: String =
     """SELECT doc_id,
       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

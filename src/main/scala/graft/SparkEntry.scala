@@ -312,6 +312,12 @@ object SparkEntry {
       graft.textstats.TextStats.tokenCounts(read(s, dir, "documents"))),
     "ts_fingerprint" -> ((s, dir) =>
       graft.textstats.TextStats.fingerprint(read(s, dir, "documents"))),
+    "ts_bm25" -> ((s, dir) =>
+      // BM25 ranked retrieval — the reference's Solr query side
+      // (tagger.py:45-60) as declarative Spark: broadcast query terms,
+      // one per-doc aggregation, TakeOrderedAndProject top-k
+      graft.search.Bm25.search(read(s, dir, "documents"),
+        Seq("merge", "window", "scan", "vector", "customer"))),
     "ts_pack" -> ((s, dir) =>
       // sequence packing into 2048-token training shards via a two-phase
       // distributed prefix sum (no single-partition window over the data)
@@ -470,6 +476,7 @@ object SparkEntry {
     "ts_langid" -> Oracles.tsLangidSql,
     "ts_quality" -> Oracles.tsQualitySql,
     "ts_tokens" -> Oracles.tsTokensSql,
+    "ts_bm25" -> Oracles.tsBm25Sql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "ts_pack" -> Oracles.tsPackSql,
     "ts_repetition" -> Oracles.tsRepetitionSql,

@@ -155,6 +155,33 @@ class Wave2Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bm25: hand corpus matches the closed form; top-k is score-ordered") {
+    val hand = Seq(
+      (1L, "merge merge scan the table"),
+      (2L, "scan scan scan scan scan"),
+      (3L, "window sort group by key"),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val terms = Seq("merge", "scan")
+    val got = graft.search.Bm25.search(hand, terms, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // plain-Scala closed form (k1=1.2, b=0.75, RSJ idf)
+    val lens = Map(1L -> 5.0, 2L -> 5.0, 3L -> 5.0, 4L -> 8.0)
+    val avgdl = lens.values.sum / 4
+    val tf = Map((1L, "merge") -> 2.0, (1L, "scan") -> 1.0, (2L, "scan") -> 5.0)
+    val df = Map("merge" -> 1.0, "scan" -> 2.0)
+    def score(d: Long) = terms.map { t =>
+      tf.get((d, t)).fold(0.0) { f =>
+        math.log(1.0 + (4.0 - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
+          (f + 1.2 * (0.25 + 0.75 * lens(d) / avgdl))
+      }
+    }.sum
+    assert(got.keySet == Set(1L, 2L))
+    for ((d, s) <- got)
+      assert(math.abs(s - score(d)) < 1e-6, s"doc $d: $s vs ${score(d)}")
+    // doc 1 matches both terms including the rare one -> outranks doc 2
+    assert(got(1L) > got(2L))
+  }
+
   test("langid predicts the marker language deterministically") {
     val d = Seq(
       (1L, "der hund und die katze ist da"),
