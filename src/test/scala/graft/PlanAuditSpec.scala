@@ -88,6 +88,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"benchmark join must not shuffle the corpus grams:\n$p")
   }
 
+  test("ts_bm25 broadcasts query terms + df table; top-k is TakeOrdered") {
+    val p = plan(graft.search.Bm25.search(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      Seq("merge", "window", "scan", "vector", "customer")))
+    // the query-term and per-term-df joins attach by broadcast — the only
+    // shuffles are the (doc_id, term) and per-doc aggregations
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"term joins must never shuffle the corpus side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$p")
+  }
+
+  test("dd_simhash_pairs joins on (band, block key), never all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.dedup.Dedup.simhashCandidates(
+      graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
+        graft.dedup.Dedup.augment(docs)))))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must equi-join, not compare all pairs:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("band")), p)
+  }
+
   test("ts_pack windows partition by pid and broadcast the boundary offsets") {
     val p = plan(graft.textstats.TextStats.pack(
       spark.read.parquet(s"$sf/documents.parquet")))
