@@ -214,13 +214,13 @@ object Pipeline {
       "annotations",
       Seq(s"annotations:${m1.snapshotId}", s"processed:${mp1.snapshotId}",
         "crawl:day2"))
-    // pin driver-local and free the scratch snapshots (same rationale as
-    // the stream queries: the driver compares rows, tmpfs must not grow)
-    val sink = spark.read.parquet(annPath2)
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    graft.link.Pairs.rmDir(root)
-    result
+    // return the committed snapshot read directly — a corpus-sized result
+    // must never be collect()ed to the driver inside a contract query
+    // (round-4 advice). The scratch root is registered with the shared
+    // exit-cleanup hook instead of being deleted eagerly, because the
+    // returned frame reads from it lazily.
+    graft.link.Pairs.cleanupOnExit(root)
+    spark.read.parquet(annPath2)
   }
 
   /** blocked candidate pairs with surface similarity + linkage decision.

@@ -122,7 +122,7 @@ object Pairs {
     dirs
   }
 
-  private def cleanupOnExit(dir: String): Unit =
+  private[graft] def cleanupOnExit(dir: String): Unit =
     exitCleanup.synchronized { exitCleanup += dir; () }
 
   /** Round-2 implementation of blockSeq (persist + eager localCheckpoint).

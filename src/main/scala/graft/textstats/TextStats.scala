@@ -225,14 +225,23 @@ object TextStats {
     * and re-aggregates per doc — the BOW-ingest cost class. The grand
     * totals are one scalar aggregate fetched to the driver (a single row,
     * same pattern as PageRank's loss compensation). */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame,
+      broadcastVocabLimit: Long = 2000000L): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val stats = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("v")).head()
     val logDenom = math.log(1.0 + stats.getLong(1) + stats.getLong(0))
-    toks.join(broadcast(vocab), Seq("word"))
+    // size-gated broadcast (same pattern as FusedAnnotate.BroadcastDictLimit):
+    // a web-corpus unigram vocabulary is billions of rows — past the limit
+    // the hint is dropped and the token->vocab attach becomes a shuffled
+    // equi-join on word, which is the 100 TB shape. The vocab row count is
+    // already on the driver from the stats aggregate above, so the gate
+    // costs nothing extra.
+    val vocabSide =
+      if (stats.getLong(1) <= broadcastVocabLimit) broadcast(vocab) else vocab
+    toks.join(vocabSide, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         avg(log(lit(1.0) + col("c"))).as("mll"))

@@ -60,6 +60,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.dedup.Dedup.exactDups(
       spark.read.parquet(s"$sf/documents.parquet")))
     assert(p.contains("partial_min"), s"hash agg must combine map-side:\n$p")
+    // the exchange key is the fixed-width digest, never the document body:
+    // every hash partitioning in the plan must lead with the h1 hash column
+    val parts = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("hashpartitioning(h1#")),
+      s"exchange must shuffle the digest, not text:\n$p")
+    assert(!parts.exists(_.contains("text#")),
+      s"document body must not flow through an exchange:\n$p")
   }
 
   test("ann brute force broadcasts the query side, never a cartesian") {

@@ -496,6 +496,29 @@ class Wave2Spec extends AnyFunSuite {
     assert(sloppy.exceptAll(broadcastPath).count() == 0)
   }
 
+  test("unigram-LM score past the broadcast gate: shuffled join, rows identical") {
+    // force the vocab past the size gate: the broadcast hint must be
+    // dropped (a web-corpus vocabulary is billions of rows — broadcasting
+    // it would OOM every executor) while the scores stay bit-identical.
+    // autoBroadcastJoinThreshold is disabled for the comparison so the
+    // planner's choice reflects ONLY the hint the gate emits — the tiny
+    // test vocab would otherwise auto-broadcast on stats either way.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val gated = TextStats.lmScore(docs, broadcastVocabLimit = 0L)
+      val gatedPlan = gated.queryExecution.sparkPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin"),
+        s"vocab join must not broadcast past the gate:\n$gatedPlan")
+      val default = TextStats.lmScore(docs)
+      assert(default.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "under the gate the vocab must still attach by broadcast")
+      assert(default.exceptAll(gated).count() == 0)
+      assert(gated.exceptAll(default).count() == 0)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("multimodal feature extraction: batched, deterministic, normalized") {
     val pages = Pages.fromDocuments(docs.limit(100))
     val f = Pages.extractFeatures(pages).cache()
