@@ -139,6 +139,20 @@ object Pipeline {
         Scoring.defaultModel(params.nbSteps))
     }
 
+  /** best entity link per mention through the SALTED hot-key join — the
+    * documented 100 TB path once the dictionary outgrows broadcast AND the
+    * mention key distribution is Zipf-skewed. saltHotThreshold=1 forces
+    * every sampled key hot so the 16-way scatter (SaltedJoin.join)
+    * actually executes; results are exact by construction and share
+    * el_annotate's DuckDB oracle, so the driver row checks the scale-mode
+    * plan, not just the oracle-parity broadcast mode. */
+  def annotateSalted(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "annotate_salted") {
+      graft.link.FusedAnnotate.annotate(
+        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        Scoring.defaultModel(), strategy = "salted", saltHotThreshold = 1L)
+    }
+
   /** best entity link per mention under the frozen NON-TRIVIAL context
     * model (Scoring.ctxModel): similarity graph, decay, normalization,
     * 2-step propagation and the SVM arithmetic all affect the output —

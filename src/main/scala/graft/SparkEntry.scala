@@ -99,6 +99,13 @@ object SparkEntry {
       Pipeline.annotate(s, dir)
         .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
           col("surface"), col("best_qid"))),
+    "el_annotate_salted" -> ((s, dir) =>
+      // the Zipf-skew scale mode driven through the driver contract: the
+      // 16-way hot-key scatter join (SaltedJoin) replaces the broadcast
+      // dict attach; rows must equal el_annotate's oracle exactly
+      Pipeline.annotateSalted(s, dir)
+        .select(col("doc_id"), col("start").as("m_start"), col("end").as("m_end"),
+          col("surface"), col("best_qid"))),
     "el_annotate_incr" -> ((s, dir) =>
       // incremental crawl-delta annotate through committed snapshots: the
       // two-phase (day1 commit -> day2 anti-join delta -> union commit)
@@ -451,6 +458,8 @@ object SparkEntry {
     "el_candidates" -> Oracles.elCandidatesSql,
     "el_annotate" -> Oracles.elAnnotateSql,
     "el_annotate_incr" -> Oracles.elAnnotateSql,
+    // salted scale mode is result-exact by construction: same oracle
+    "el_annotate_salted" -> Oracles.elAnnotateSql,
     "el_annotate_ctx" -> Oracles.elAnnotateCtxSql,
     "el_annotate_trained" -> Oracles.elAnnotateTrainedSql,
     "el_annotations" -> Oracles.elAnnotationsSql,

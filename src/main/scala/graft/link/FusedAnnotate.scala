@@ -247,7 +247,8 @@ object FusedAnnotate {
     import spark.implicits._
 
     val bow = broadcasts(spark, a)._1
-    val spans = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer)
+    val spans = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer,
+      Some(Mentions.firstTokenFilter(a.dictKeys)))
 
     val useBroadcast = strategy match {
       case "broadcast" => true

@@ -32,18 +32,84 @@ object Mentions {
   val TagsLimitPerDoc = 500 // tagger.py:45 (Solr tagsLimit)
   val TopTagsPerMention = 10 // tagger.py:118
 
-  /** Candidate spans: all token n-grams (1..maxN) with offsets; document-
+  /** Membership test over the dictionary's FIRST normalized tokens — the
+    * other half of the FST-equivalence plan (SURVEY §4; with
+    * maxKeyTokens bounding n-gram length). Exact HashSet while the
+    * distinct first-token set is small; Bloom filter (~10 bits/token at
+    * fpp 0.01) past the gate, where a 10^7-entry string set would strain
+    * the broadcast. Bloom false positives only admit extra spans that the
+    * dictionary equi-join then drops — the mention set is exact under
+    * either representation. */
+  sealed trait TokenFilter extends Serializable { def ok(t: String): Boolean }
+  object TokenFilter {
+    val ExactLimit = 2000000L
+    final case class Exact(tokens: java.util.HashSet[String]) extends TokenFilter {
+      override def ok(t: String): Boolean = tokens.contains(t)
+    }
+    final case class Bloom(bf: org.apache.spark.util.sketch.BloomFilter) extends TokenFilter {
+      override def ok(t: String): Boolean = bf.mightContainString(t)
+    }
+    def fromDictKeys(dictKeys: DataFrame,
+        exactLimit: Long = ExactLimit): TokenFilter = {
+      val ft = dictKeys
+        .select(substring_index(col("norm_key"), " ", 1).as("ft")).distinct()
+      val n = ft.count()
+      if (n <= exactLimit) {
+        val s = new java.util.HashSet[String](math.max(16, n.toInt * 2))
+        ft.collect().foreach(r => s.add(r.getString(0)))
+        Exact(s)
+      } else Bloom(ft.stat.bloomFilter("ft", n, 0.01))
+    }
+  }
+
+  // One TokenFilter broadcast per (context, dictKeys frame): the filter is
+  // an offline-artifact derivative (the reference compiles its FST once at
+  // index time), so repeated annotate/extract calls must not rebuild or
+  // re-broadcast it. Entries evict when their application ends (the same
+  // lifecycle pin as FusedAnnotate.bcCache).
+  private val ftCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, DataFrame),
+    org.apache.spark.broadcast.Broadcast[TokenFilter]]()
+  private val ftEvictorInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  def firstTokenFilter(dictKeys: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[TokenFilter] = {
+    val sc = dictKeys.sparkSession.sparkContext
+    if (ftEvictorInstalled.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = ftCache.keySet().iterator()
+          while (it.hasNext) { if (it.next()._1 eq sc) it.remove() }
+          ftEvictorInstalled.remove(sc); ()
+        }
+      })
+    ftCache.computeIfAbsent((sc, dictKeys),
+      _ => sc.broadcast(TokenFilter.fromDictKeys(dictKeys)))
+  }
+
+  /** Candidate spans: token n-grams (1..maxN) with offsets; document-
     * local, emitted from a typed flatMap (the engine's Generator-shaped op,
-    * SURVEY.md §2.9). Text is capped at 10k chars first (tagger.py:41). */
+    * SURVEY.md §2.9). Text is capped at 10k chars first (tagger.py:41).
+    * With `firstTok` set, n-grams are emitted only at token positions whose
+    * first normalized token can start a dictionary key — see
+    * [[TokenFilter]]; without it every position emits maxN spans. */
   def candidateSpans(docs: DataFrame, maxN: Int,
-      analyzer: String = "tapioca"): DataFrame = {
+      analyzer: String = "tapioca",
+      firstTok: Option[org.apache.spark.broadcast.Broadcast[TokenFilter]] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[DocRow]
       .flatMap { d =>
+        // deref the broadcast INSIDE the task (executor-side lazy fetch)
+        val pred: String => Boolean = firstTok match {
+          case Some(b) => b.value.ok _
+          case None => null
+        }
         val text = if (d.text.length > MaxLength) d.text.substring(0, MaxLength) else d.text
-        TextOps.ngramSpansFor(analyzer, text, maxN).map { s =>
+        TextOps.ngramSpansFor(analyzer, text, maxN, pred).map { s =>
           SpanRow(d.doc_id, s.key, s.nTokens, s.start, s.end,
             text.substring(s.start, s.end))
         }
@@ -89,12 +155,14 @@ object Mentions {
           col("surface") === lower(col("surface"))))
   }
 
-  /** Full mention extraction: spans -> dict match -> NO_SUB -> prune.
-    * Returns one row per surviving mention span (doc_id, start, end,
-    * surface). */
+  /** Full mention extraction: spans (first-token prefiltered) -> dict
+    * match -> NO_SUB -> prune. Returns one row per surviving mention span
+    * (doc_id, start, end, surface). */
   def extract(docs: DataFrame, dictKeys: DataFrame, maxN: Int,
       analyzer: String = "tapioca"): DataFrame =
-    resolveSpans(matchSpans(candidateSpans(docs, maxN, analyzer), dictKeys))
+    resolveSpans(matchSpans(
+      candidateSpans(docs, maxN, analyzer, Some(firstTokenFilter(dictKeys))),
+      dictKeys))
 
   /** Candidate enrichment + ranking (tagger.py:91-119): explode mention x
     * candidate qid, join entity features (broadcast), pagerank lookup with

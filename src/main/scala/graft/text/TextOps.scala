@@ -188,19 +188,31 @@ object TextOps {
 
   /** ngramSpans under a specific configset analyzer chain (the profile's
     * `solrconfig` drives this end-to-end: an affiliations-profile
-    * dictionary matches case-insensitively). */
-  def ngramSpansFor(analyzer: String, text: String, maxN: Int): IndexedSeq[Span] = {
+    * dictionary matches case-insensitively).
+    *
+    * `firstTokenOk` (null = no filter) is the FST-equivalence prefilter:
+    * Solr's dictionary automaton (managed-schema:63-68) dies on the FIRST
+    * arc when no dictionary phrase starts with the current token, so the
+    * tagger never materializes longer n-grams there. Emitting n-grams only
+    * at positions whose first normalized token can possibly start a
+    * dictionary key cuts the span stream from maxN x corpus-tokens to
+    * maxN x matching-positions; the dictionary equi-join result is
+    * unchanged by construction (every dropped span had no key to match). */
+  def ngramSpansFor(analyzer: String, text: String, maxN: Int,
+      firstTokenOk: String => Boolean = null): IndexedSeq[Span] = {
     val toks = tokenizeWithOffsetsFor(analyzer, text)
     val out = IndexedSeq.newBuilder[Span]
     var i = 0
     while (i < toks.length) {
-      val sb = new StringBuilder()
-      var n = 1
-      while (n <= maxN && i + n <= toks.length) {
-        if (n > 1) sb.append(' ')
-        sb.append(toks(i + n - 1).norm)
-        out += Span(sb.toString, n, toks(i).start, toks(i + n - 1).end)
-        n += 1
+      if (firstTokenOk == null || firstTokenOk(toks(i).norm)) {
+        val sb = new StringBuilder()
+        var n = 1
+        while (n <= maxN && i + n <= toks.length) {
+          if (n > 1) sb.append(' ')
+          sb.append(toks(i + n - 1).norm)
+          out += Span(sb.toString, n, toks(i).start, toks(i + n - 1).end)
+          n += 1
+        }
       }
       i += 1
     }

@@ -122,6 +122,65 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("BroadcastHashJoin")) && l.contains("band")), p)
   }
 
+  test("first-token prefilter cuts emitted spans; dictionary join unchanged") {
+    import graft.link.Mentions
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val unfiltered = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer)
+    val filtered = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer,
+      Some(Mentions.firstTokenFilter(a.dictKeys)))
+    val nAll = unfiltered.count()
+    val nKept = filtered.count()
+    // the bench corpus is adversarially dictionary-dense (31-word
+    // vocabulary, nearly all of it dictionary first tokens), so only a
+    // strict reduction is pinnable here...
+    assert(nKept < nAll, s"prefilter kept $nKept of $nAll spans")
+    // ...the web-shaped claim (dictionary first tokens are a small slice of
+    // open vocabulary) is pinned on a noise-heavy corpus: >=90% of spans
+    // must never be emitted when 9 of 10 token positions cannot start a key
+    import spark.implicits._
+    val noisy = (0 until 64).map { i =>
+      (i.toLong, (0 until 50).map(j =>
+        if (j % 10 == 0) "merge" else s"zzz${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val noisyAll = Mentions.candidateSpans(noisy, a.maxKeyTokens, a.analyzer).count()
+    val noisyKept = Mentions.candidateSpans(noisy, a.maxKeyTokens, a.analyzer,
+      Some(Mentions.firstTokenFilter(a.dictKeys))).count()
+    // 5 of 50 positions match => ~10.2% kept (the boundary positions at
+    // the text tail emit fewer than maxN spans, shifting the ratio slightly)
+    assert(noisyKept <= noisyAll / 8,
+      s"prefilter kept $noisyKept of $noisyAll spans on the noise corpus")
+    // ...while the post-join mention stream is EXACTLY unchanged
+    def joined(s: org.apache.spark.sql.DataFrame) =
+      Mentions.matchSpans(s, a.dictKeys)
+        .select("doc_id", "norm_key", "start", "end", "qid")
+    assert(joined(unfiltered).exceptAll(joined(filtered)).count() == 0)
+    assert(joined(filtered).exceptAll(joined(unfiltered)).count() == 0)
+    // the Bloom representation (past the exact-set gate) admits only rows
+    // the join drops: same joined result
+    val bloom = Mentions.TokenFilter.fromDictKeys(a.dictKeys, exactLimit = 0L)
+    assert(bloom.isInstanceOf[Mentions.TokenFilter.Bloom])
+    val bloomSpans = Mentions.candidateSpans(docs, a.maxKeyTokens, a.analyzer,
+      Some(spark.sparkContext.broadcast(
+        bloom: Mentions.TokenFilter)))
+    assert(joined(bloomSpans).exceptAll(joined(filtered)).count() == 0)
+    assert(joined(filtered).exceptAll(joined(bloomSpans)).count() == 0)
+  }
+
+  test("el_annotate_salted plan contains the hot-key scatter") {
+    val a = Pipeline.artifacts(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.link.FusedAnnotate.annotate(docs, a,
+      graft.link.Scoring.Params(), graft.link.Scoring.defaultModel(),
+      strategy = "salted", saltHotThreshold = 1L))
+    // the content-derived salt projection (pmod(xxhash64(...), 16)) and the
+    // composite (norm_key, __salt) join key must both be in the plan — if
+    // the sampled hot set came back empty the join silently degrades to the
+    // plain equi-join and this pin fails
+    assert(p.contains("__salt"), s"salted scatter missing from plan:\n$p")
+    assert(p.contains("pmod(xxhash64"), s"content-derived salt missing:\n$p")
+  }
+
   test("ts_pack windows partition by pid and broadcast the boundary offsets") {
     val p = plan(graft.textstats.TextStats.pack(
       spark.read.parquet(s"$sf/documents.parquet")))
