@@ -313,11 +313,16 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val (bench, grams) = decontamInputs(docs, n)
     val spark = docs.sparkSession
-    // bloom sizing wants ~|bench|, but an exact count would cost a full
-    // distinct pass; each 37th doc contributes at most one gram, so
-    // |docs|/37 is an upper bound and docs.count() on a parquet source is
-    // footer metadata — overestimating only widens the filter slightly
-    val expected = math.max(1000L, docs.count() / 37 + 1)
+    // bloom sizing wants ~|bench| without paying bench's full distinct
+    // pass. Each bench-side doc contributes at most one gram, so counting
+    // docs under the SAME predicate bench uses (doc_id % 37 == 0) is a
+    // true upper bound regardless of how sparse or skewed the ids are
+    // (the previous |docs|/37 shortcut undersized the filter whenever ids
+    // clustered on multiples of 37, silently raising the effective fpp);
+    // a doc_id-only filtered count is one pruned-column scan, and the x2
+    // headroom keeps the realized fpp at or under the requested one.
+    val expected = math.max(1000L,
+      docs.filter(col("doc_id") % 37 === 0).count() * 2)
     val bloom = bench.stat.bloomFilter("gram", expected, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain =

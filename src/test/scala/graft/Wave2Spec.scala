@@ -182,6 +182,21 @@ class Wave2Spec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("bm25: empty corpus yields empty result; precomputed stats match computed") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = graft.search.Bm25.search(empty, Seq("merge"))
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("doc_id", "score"))
+    // the static-corpus path: (N, avgdl) passed in = computed per call
+    val hand = Seq(
+      (1L, "merge merge scan the table"),
+      (2L, "scan scan scan scan scan")).toDF("doc_id", "text")
+    val computed = graft.search.Bm25.search(hand, Seq("merge", "scan"))
+    val pre = graft.search.Bm25.search(hand, Seq("merge", "scan"),
+      corpusStats = Some((2.0, 5.0)))
+    assert(computed.collect().toSeq == pre.collect().toSeq)
+  }
+
   test("langid predicts the marker language deterministically") {
     val d = Seq(
       (1L, "der hund und die katze ist da"),
