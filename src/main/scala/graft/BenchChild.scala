@@ -248,7 +248,11 @@ object BenchChild {
         // with 300.9 machine-steal-seconds ran 3.2x slow (barrier-straggler
         // amplification grows with parallelism). steal*cores/nproc >
         // max(5 s, 10% of wall) classifies every observed trial correctly.
-        val trials = sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt
+        // the parent's gate pass sends single-trial top-ups via the system
+        // property; the env knob stays the session-wide default
+        val trials = Option(System.getProperty("SPARK_BENCH_TRIALS_OVERRIDE"))
+          .map(_.toInt)
+          .getOrElse(sys.env.getOrElse("SPARK_BENCH_TRIALS", "3").toInt)
         val maxAttempts = trials + sys.env.getOrElse("SPARK_BENCH_RETRIES", "3").toInt
         // Pre-attempt calm gate: storms START mid-run too, and a stolen
         // 8-core attempt can take 3-8x its clean wall (round-4 observation:
@@ -358,8 +362,18 @@ object BenchChild {
           val clean = stealOk && sysOk
           if (clean) ok += 1
           minTrialSecs = math.min(minTrialSecs, secs)
+          // "warn" band (round-5): sys ratio 0.15-0.30 passes the clean
+          // gate but sits 2-4x above the measured calm band (0.06-0.14) —
+          // the round-4 local[4] trials lived here and their kernel-storm
+          // inflation leaked into the published clean median. Warn trials
+          // count as completed (no extra budget burn) but the parent's
+          // wall estimator prefers warn-free medians when any exist.
+          val sysWarn = sysSecs > 15.0 && sysRatio > 0.15
           val flag =
-            if (clean) "ok" else if (stealOk && !sysOk) "sys" else "stolen"
+            if (clean && sysWarn) "warn"
+            else if (clean) "ok"
+            else if (stealOk && !sysOk) "sys"
+            else "stolen"
           println(f"TRIAL $cores%d $secs%.3f ${gcSecs - gc0}%.3f $attempt%d " +
             f"$steal%.1f $sysSecs%.1f $cpu%.3f $flag%s")
         }

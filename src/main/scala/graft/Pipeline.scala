@@ -94,6 +94,24 @@ object Pipeline {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // Parsed synthetic dump, cached per session: el_bow and el_pagerank
+  // re-derive their models from the dump (the reference's train-bow /
+  // compute-pagerank entry points), and re-parsing the dump inside each
+  // query body is a fixed multi-second cost the round-4 rehearsal surfaced
+  // as an apparent el_bow regression (1.1 -> 5.5 s vs r3, which reused the
+  // session artifacts). Parsing once per session restores artifact reuse
+  // without changing either query's checked output.
+  @volatile private var dumpCache: Map[SparkSession, DataFrame] = Map.empty
+
+  def parsedDump(spark: SparkSession): DataFrame = synchronized {
+    dumpCache.getOrElse(spark, {
+      val items = DictBuild.parseDump(DictBuild.syntheticDump(spark))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dumpCache += spark -> items
+      items
+    })
+  }
+
   // Stage-level caches: repeated driver queries (el_mentions, el_candidates,
   // el_annotate, el_pairs, el_clusters) share the expensive upstream stages
   // within a session instead of recomputing the whole pipeline.

@@ -73,13 +73,13 @@ object SparkEntry {
     "el_dict_keys" -> ((s, _) =>
       Pipeline.artifacts(s).dictKeys.select("norm_key", "qid", "n_tokens")),
     "el_bow" -> ((s, _) => {
-      val items = graft.dict.DictBuild.parseDump(graft.dict.DictBuild.syntheticDump(s))
+      val items = Pipeline.parsedDump(s)
       val (bow, _) = graft.model.Bow.build(items)
       bow.select(col("word"), col("count"))
     }),
     "el_pagerank" -> ((s, _) => {
       val a = Pipeline.artifacts(s)
-      val items = graft.dict.DictBuild.parseDump(graft.dict.DictBuild.syntheticDump(s))
+      val items = Pipeline.parsedDump(s)
       val (weighted, _) = PageRank.normalizeEdges(PageRank.rawEdgesFromItems(items))
       val nodes = weighted.select(col("src").as("n"))
         .union(weighted.select(col("dst").as("n"))).distinct()

@@ -146,6 +146,78 @@ class BenchSpec extends AnyFunSuite {
     assert(r.minSecs == 90.0)
   }
 
+  test("stdout line fits the driver's 2000-char tail; arrays drop to the full file") {
+    // 55 queries + 4 configs x 3 trials — the round-4 shape whose line
+    // outgrew the driver's tail and truncated its own queries map away
+    val queries = (1 to 55).map(i => f"query_name_$i%02d" -> (i * 0.37))
+    val steal = queries.map { case (n, _) => n -> 0.0 }
+    def res(c: Int) = Bench.ScaleResult(640000, Seq(
+      trial(c, 100.0 / c, 1.0, clean = true, 1, 260.0),
+      trial(c, 101.0 / c, 1.0, clean = true, 2, 261.0),
+      trial(c, 102.0 / c, 1.0, clean = true, 3, 262.0)))
+    val configs = Seq(8, 2, 4, 1)
+    val results = configs.map(c => c -> res(c))
+    val line = Bench.emitJson("/root/testdata/sf0.1", 128, queries, configs,
+      results, deadlineHit = false, querySteal = steal,
+      fullPath = Some("evidence/bench_full_latest.json"))
+    assert(line.length <= Bench.LineBudget,
+      s"line is ${line.length} chars, over the ${Bench.LineBudget} budget")
+    val j = parse(line)
+    // gate-critical keys survive, diagnostics deferred to the full file
+    assert((j \ "scaling_efficiency_1_4") != JNothing)
+    assert((j \ "scaling_efficiency_cpu_2_8") != JNothing)
+    assert((j \ "queries" \ "query_name_07") == JDouble(2.59))
+    assert((j \ "pipeline_secs_1") != JNothing)
+    assert((j \ "trial_flags_8") != JNothing)
+    assert((j \ "full") == JString("evidence/bench_full_latest.json"))
+    assert((j \ "cpu_secs_8") == JNothing, "arrays must defer to the full file")
+    // calm run: the steal map is sparse-empty, never 55 zero rows (the
+    // round-4 misread), and the full-budget emit has everything
+    assert((j \ "queries_steal") == JNothing)
+    val full = parse(Bench.emitJson("/x", 128, queries, configs, results,
+      deadlineHit = false, querySteal = steal, budget = Int.MaxValue))
+    assert((full \ "cpu_secs_8") != JNothing)
+    assert((full \ "pipeline_trials_1") != JNothing)
+  }
+
+  test("gate-critical scaling keys sit at the END of the line (truncation-safe)") {
+    val queries = (1 to 55).map(i => f"query_name_$i%02d" -> (i * 0.37))
+    val r = Bench.ScaleResult(640000,
+      Seq(trial(4, 25.0, 1.0, clean = true, 1, 100.0)))
+    val line = Bench.emitJson("/x", 128, queries, Seq(4, 1),
+      Seq(4 -> r, 1 -> r.copy(trials = Seq(trial(1, 100.0, 1.0, clean = true, 1, 100.0)))),
+      deadlineHit = false)
+    assert(line.lastIndexOf("scaling_efficiency") > line.indexOf("\"queries\""))
+    assert(line.lastIndexOf("scaling_efficiency") > line.indexOf("pipeline_secs_4"))
+  }
+
+  test("per-query plausibility flags: fail, low, steal") {
+    val times = Seq("a_fail" -> -1.0, "b_low" -> 0.01, "c_stormed" -> 10.0,
+      "d_fine" -> 3.2)
+    val steal = Seq("c_stormed" -> 40.0, "d_fine" -> 0.2)
+    val flags = Bench.queryFlags(times, steal).toMap
+    assert(flags == Map("a_fail" -> "fail", "b_low" -> "low",
+      "c_stormed" -> "steal"))
+    val j = parse(Bench.emitJson("/x", 1, times, Seq.empty, Seq.empty,
+      deadlineHit = false, querySteal = steal))
+    assert((j \ "queries_flags" \ "b_low") == JString("low"))
+    assert((j \ "queries_flags" \ "d_fine") == JNothing)
+  }
+
+  test("warn trials parse clean but warn-free medians win") {
+    val warn = Bench.parseTrial(
+      "TRIAL 4 130.000 0.5 1 3.0 120.0 360.000 warn").get
+    assert(warn.clean && warn.flagOrDerived == "warn")
+    // one ok + two warn: the ok trial carries the estimate alone
+    val r = Bench.ScaleResult(1000, Seq(
+      warn, warn.copy(secs = 140.0),
+      Bench.Trial(4, 96.0, 0.5, 3, 1.0, 20.0, 350.0, clean = true, flag = "ok")))
+    assert(r.secs == 96.0)
+    // all-warn: the warn median carries it (better than min-of-attempts)
+    val rw = Bench.ScaleResult(1000, Seq(warn, warn.copy(secs = 140.0)))
+    assert(rw.secs == 135.0)
+  }
+
   test("a merged clean trial flips a flagged-only config to the clean median") {
     // the third-chance pass appends new trials to the recorded result
     val flagged = Bench.ScaleResult(1000,
