@@ -50,8 +50,10 @@ object SaltedJoin {
     require(salts > 1, s"salts must be > 1 (got $salts)")
     val hk = hot.getOrElse(hotKeys(fact, key, hotThreshold))
     if (hk.isEmpty) return fact.join(dim, Seq(key))
-    val hkLit = typedLit(hk)
-    val isHot = array_contains(hkLit, col(key).cast("string"))
+    // membership via isin, not array_contains: Catalyst rewrites In to a
+    // hash-set InSet past 10 items, so a forced-large hot list (tests,
+    // saltHotThreshold=1) stays O(1) per row instead of O(|hot|)
+    val isHot = col(key).cast("string").isin(hk: _*)
     // content-derived salt: deterministic under retries; any per-row
     // assignment is correct (one salt per fact row, dim replicated to all)
     val factSalt = when(isHot,
