@@ -342,6 +342,17 @@ object Bench {
     (!killed && p.exitValue() == 0, out.iterator().asScala.toSeq)
   }
 
+  /** A retry launch is worth its wall only if one trial can plausibly
+    * FINISH before runChild's hard-kill (budget + the same grace formula):
+    * est with a 1.3 storm margin plus ~90 s of child JVM/session setup.
+    * The fourteenth rehearsal's third-chance pass launched a scale-2 retry
+    * with est=159 s into a 79 s budget — hard-killed ~140 s later with
+    * zero new evidence; in a round where the primary pair still sits
+    * below the gate, that wall belongs to the gate pass instead. */
+  private[graft] def trialFits(estTrialSecs: Double, budgetSecs: Double): Boolean =
+    estTrialSecs <= 0.0 ||
+      estTrialSecs * 1.3 + 90.0 < budgetSecs + math.max(60.0, budgetSecs * 0.25)
+
   private def scaleRun(cores: Int, budgetSecs: Double,
       estTrialSecs: Double, trialsOverride: Int = 0): Option[ScaleResult] = {
     val (_, lines) = runChild("scale", cores, budgetSecs, estTrialSecs,
@@ -457,7 +468,15 @@ object Bench {
       results.get(c).exists(_.trials.forall(!_.clean)))
     for ((c, i) <- flaggedOnly.zipWithIndex if remaining > 30) {
       val budget = remaining * configBudgetShare(flaggedOnly.drop(i))
-      scaleRun(c, budget, estFor(c)).foreach { r =>
+      val est = estFor(c)
+      // unlike the second chance (an empty cell is worse than wasted wall),
+      // this config already publishes via min-of-attempts: skip a retry
+      // that cannot finish — the skipped share flows to the next config
+      // and the gate pass below, both recomputed from `remaining`
+      if (!trialFits(est, budget)) {
+        System.err.println(f"[retry @$elapsed%.0fs] skip local[$c]: " +
+          f"est=$est%.0fs cannot finish inside its ${budget}%.0fs share")
+      } else scaleRun(c, budget, est).foreach { r =>
         results += c -> results.get(c)
           .map(old => old.copy(trials = old.trials ++ r.trials))
           .getOrElse(r)

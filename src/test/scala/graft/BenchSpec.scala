@@ -229,4 +229,16 @@ class BenchSpec extends AnyFunSuite {
     assert(merged.minSecs == 55.2)   // and the min updates
     assert(merged.trials.size == 2)  // the stolen attempt stays published
   }
+
+  test("a retry that cannot finish inside its share is skipped, not launched") {
+    // the fourteenth rehearsal's doomed launch: est=159 s into a 79 s share
+    // (grace 60 s) -> 159*1.3+90 = 296.7 > 139 -> skip
+    assert(!Bench.trialFits(159.0, 79.0))
+    // a fast retry fits the same share: 30*1.3+90 = 129 < 139
+    assert(Bench.trialFits(30.0, 79.0))
+    // no estimate yet (first config of a cold matrix): always try
+    assert(Bench.trialFits(0.0, 10.0))
+    // large budgets scale the grace term: 400*1.3+90 = 610 < 500+125
+    assert(Bench.trialFits(400.0, 500.0))
+  }
 }
