@@ -939,7 +939,12 @@ object Oracles {
   /** ts_bm25: Okapi BM25 (k1=1.2, b=0.75, RSJ idf) over whitespace tokens,
     * operation-ordered to mirror the Spark column arithmetic; scores
     * rounded to 6 BEFORE the top-k ordering so both engines select the
-    * identical row set at the k boundary. */
+    * identical row set at the k boundary. Known residual risk: a score
+    * sitting within ~5e-7 of a .5 rounding boundary could round apart if
+    * the engines' float summation orders differ by an ulp; no corpus so
+    * far (sf0.001-0.1) exhibits one. If a flake ever appears on a new
+    * scale factor, widen the shared convention to round(...,5) here and
+    * in Bm25.search rather than loosening the harness compare. */
   val tsBm25Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, t.term
