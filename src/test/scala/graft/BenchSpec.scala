@@ -230,6 +230,25 @@ class BenchSpec extends AnyFunSuite {
     assert(merged.trials.size == 2)  // the stolen attempt stays published
   }
 
+  test("all-warn pair publishes warn medians: the sixteenth-rehearsal shape") {
+    // Literal trial lines from the sixteenth full run: neither primary-pair
+    // side banked an ok trial, so both estimates come from the warn band
+    // (symmetric weather inflation) and the sys-flagged local[4] attempt is
+    // excluded from the wall estimate but still counted in the CPU median.
+    val lo = Bench.ScaleResult(640000, Seq(
+      Bench.parseTrial("TRIAL 1 408.094 1.299 1 54.4 106.9 397.886 warn").get))
+    val hi = Bench.ScaleResult(640000, Seq(
+      Bench.parseTrial("TRIAL 4 120.004 0.726 1 32.1 155.7 444.692 sys").get,
+      Bench.parseTrial("TRIAL 4 104.232 0.693 2 14.1 70.7 389.378 warn").get))
+    assert(hi.secs == 104.232)     // warn median ignores the sys attempt
+    assert(hi.minSecs == 104.232)
+    val Seq(p) = Bench.scalingPairs(Seq(1, 4), Map(1 -> lo, 4 -> hi))
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    assert(r3(p.eff) == 0.979)     // published BENCH_r5 rehearsal-16 trio
+    assert(r3(p.effMin) == 0.979)
+    assert(r3(p.effCpu) == 0.954)  // CPU median spans ALL attempts (417.035)
+  }
+
   test("a retry that cannot finish inside its share is skipped, not launched") {
     // the fourteenth rehearsal's doomed launch: est=159 s into a 79 s share
     // (grace 60 s) -> 159*1.3+90 = 296.7 > 139 -> skip
