@@ -165,6 +165,49 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- vector kernels (dd_embed / ann_* hot path) -----------------------
+
+  private val vecGen: Gen[Array[Double]] = for {
+    n <- Gen.chooseNum(1, 16)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 100.0))
+  } yield {
+    val a = xs.toArray
+    if (a.forall(_ == 0.0)) a(0) = 1.0 // cosine is undefined on zero vectors
+    a
+  }
+
+  test("cosine algebra: symmetry, range, self-similarity, scale invariance") {
+    import graft.functions.VectorOps.cosine
+    check("cos-sym", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      cosine(a, b) == cosine(b, a) && math.abs(cosine(a, b)) <= 1.0 + 1e-9
+    }, n = 1000)
+    check("cos-self", Prop.forAll(vecGen) { a =>
+      math.abs(cosine(a, a) - 1.0) < 1e-12
+    })
+    check("cos-scale", Prop.forAll(vecGen, vecGen,
+        Gen.chooseNum(1, 1000).map(_ / 100.0)) { (a, b, k) =>
+      math.abs(cosine(a.map(_ * k), b) - cosine(a, b)) < 1e-9
+    }, n = 1000)
+  }
+
+  test("rhp signature: positive-scale invariant, width-bounded, deterministic") {
+    import graft.functions.VectorOps.rhpSignature
+    val gen = for {
+      v <- vecGen
+      planes <- Gen.chooseNum(1, 32)
+      k <- Gen.chooseNum(1, 1000).map(_ / 100.0)
+    } yield (v, planes, k)
+    check("rhp", Prop.forAll(gen) { case (v, planes, k) =>
+      val sig = rhpSignature(v, planes)
+      // sign(proj) is invariant under positive scaling, so an exact or
+      // positively-scaled duplicate ALWAYS lands in the same LSH bucket —
+      // the deterministic half of the dd_embed recall guarantee
+      sig == rhpSignature(v.map(_ * k), planes) &&
+        (sig >>> planes) == 0L &&
+        sig == rhpSignature(v.clone(), planes)
+    }, n = 1000)
+  }
+
   // ---- prune filter: the length shortcut never changes the answer ------
 
   test("prunePhrase equals the spec regex without the length shortcut") {
