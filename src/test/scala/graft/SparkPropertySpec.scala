@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.textstats.TextStats
+
+/** Randomized invariants for distributed algorithms whose driver oracle
+  * only exercises one fixed corpus. Deterministic seeds; each case is
+  * checked against a plain-Scala sequential re-computation, so a
+  * partition-boundary bug (empty range partitions, pid/order skew, the
+  * two-phase offset hand-off) fails here instead of at scale. */
+class SparkPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pack: two-phase distributed prefix sum == sequential cumsum") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42, 99, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(400)
+      // sparse, shuffled doc ids (the contract orders by doc_id, not by
+      // insertion); token counts 1..40 via k space-joined words
+      val ids = rnd.shuffle((0 until 4 * n).map(_.toLong).toList).take(n)
+      val rows = ids.map { id =>
+        val k = 1 + rnd.nextInt(40)
+        (id, Seq.fill(k)("w").mkString(" "))
+      }
+      val capacity = 1L + rnd.nextInt(50)
+      val got = TextStats.pack(rows.toDF("doc_id", "text"), capacity)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // sequential oracle
+      var off = 0L
+      val expected = rows.sortBy(_._1).map { case (id, text) =>
+        val toks = text.split(" ").length.toLong
+        val e = id -> ((toks, off, off / capacity))
+        off += toks
+        e
+      }.toMap
+      assert(got == expected,
+        s"seed=$seed n=$n capacity=$capacity: distributed packing diverged")
+    }
+  }
+
+  private def randomCorpus(seed: Int, n: Int, dupShare: Double) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until n).map { i =>
+      val text =
+        if (texts.nonEmpty && rnd.nextDouble() < dupShare)
+          texts(rnd.nextInt(texts.length)) // planted exact duplicate
+        else {
+          val t = Seq.fill(5 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+          texts += t; t
+        }
+      (i.toLong * 3 + 1, text) // sparse ids
+    }
+  }
+
+  test("exactDups (hash-first): groups == plain groupBy(text) oracle") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 2026)) {
+      val rows = randomCorpus(seed, 300, 0.4)
+      val got = graft.dedup.Dedup.exactDups(rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expected = rows.groupBy(_._2).values.flatMap { g =>
+        val ids = g.map(_._1)
+        ids.map(_ -> ((ids.min, ids.size.toLong)))
+      }.toMap
+      assert(got == expected, s"seed=$seed: hash-first dedup diverged")
+    }
+  }
+
+  test("minhash LSH: identical texts always collide (rank and xxhash64 ids)") {
+    import spark.implicits._
+    val rows = randomCorpus(seed = 11, n = 200, dupShare = 0.35)
+    val mustPair = rows.groupBy(_._2).values.filter(_.size > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(mustPair.nonEmpty, "corpus generator planted no duplicates")
+    for (idMode <- Seq("rank", "xxhash64")) {
+      val cands = graft.dedup.Dedup
+        .minhashCandidates(rows.toDF("doc_id", "text"), idMode = idMode)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // identical shingle sets -> identical signatures -> same bucket in
+      // EVERY band: exact duplicates can never be missed, in either the
+      // oracle-parity (rank) or the 100 TB (xxhash64) id path
+      assert(mustPair.subsetOf(cands),
+        s"idMode=$idMode missed ${(mustPair -- cands).size} exact-dup pairs")
+    }
+  }
+}
