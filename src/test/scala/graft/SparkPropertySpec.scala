@@ -91,4 +91,34 @@ class SparkPropertySpec extends AnyFunSuite {
         s"idMode=$idMode missed ${(mustPair -- cands).size} exact-dup pairs")
     }
   }
+
+  test("simhash banding == all-pairs Hamming scan (pigeonhole is exact)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val fps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (i <- 0 until 200) {
+        val fp =
+          if (fps.nonEmpty && rnd.nextDouble() < 0.3) {
+            // planted near-dup: flip 1..4 bits of an existing fingerprint
+            // (4 > maxHamming=3, so some planted pairs must be EXCLUDED)
+            var f = fps(rnd.nextInt(fps.length))._2
+            for (_ <- 0 to rnd.nextInt(4)) f ^= (1L << rnd.nextInt(32))
+            f
+          } else rnd.nextLong() & 0xFFFFFFFFL
+        fps += ((i.toLong, fp))
+      }
+      val got = graft.dedup.Dedup
+        .simhashCandidates(fps.toSeq.toDF("doc_id", "simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // Manku pigeonhole: hamming <= 3 differing bits cannot touch all four
+      // 8-bit blocks, so the banding join finds EVERY close pair — the
+      // candidate set equals the quadratic scan exactly, never a subset
+      val expected = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 3
+      } yield (a, b, h)).toSet
+      assert(got == expected, s"seed=$seed: banding != all-pairs scan")
+    }
+  }
 }
