@@ -121,4 +121,50 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed=$seed: banding != all-pairs scan")
     }
   }
+
+  test("fused == staged annotate on adversarial documents") {
+    import spark.implicits._
+    import graft.link.{FusedAnnotate, Mentions, Scoring}
+    import org.apache.spark.sql.functions.col
+    val a = Pipeline.artifacts(spark)
+    val keys = a.dictKeys.select("norm_key").distinct().limit(8)
+      .collect().map(_.getString(0))
+    val rnd = new scala.util.Random(13)
+    val junk = Seq("", " ", "   ", "!!!", "(??)", "...,;:", "émile's",
+      "ŒUF Δx", "@handle #tag", "a" * 60, "1 2 3 4")
+    // hostile shapes the fixture corpus never produces: empty/blank docs,
+    // punctuation storms, keys gummed to punctuation or possessives,
+    // unicode around keys, a doc at the 10k truncation boundary
+    val docs: Seq[(Long, String)] =
+      junk.zipWithIndex.map { case (j, i) => (i.toLong, j) } ++
+        keys.zipWithIndex.flatMap { case (k, i) =>
+          val base = 100L + i * 10
+          Seq(
+            (base, k),                                    // doc IS the key
+            (base + 1, s"$k's (${k}) , $k"),              // possessive+parens
+            (base + 2, s"${junk(rnd.nextInt(junk.length))} $k naïve $k"),
+            (base + 3, ("x " * 4990) + k + (" y" * 2600)) // spans 10k cut
+          )
+        }
+    val df = docs.toDF("doc_id", "text")
+    val params = Scoring.Params()
+    val model = Scoring.ctxModel()
+    def collectMap(res: org.apache.spark.sql.DataFrame) = res
+      .select("doc_id", "start", "end", "surface", "best_qid", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getString(3), r.getString(4), r.getDouble(5)))
+      .toMap
+    val staged = collectMap(Scoring.bestLinks(
+      Mentions.candidates(Mentions.extract(df, a.dictKeys, a.maxKeyTokens),
+        a.dictKeys, a.entityDict, a.pagerank, a.bow), params, model))
+    val fused = collectMap(FusedAnnotate.annotate(df, a, params, model))
+    assert(staged.nonEmpty, "adversarial corpus produced no mentions at all")
+    assert(fused.keySet == staged.keySet)
+    fused.foreach { case (k, (surf, qid, score)) =>
+      val (s2, q2, sc2) = staged(k)
+      assert(surf == s2 && qid == q2, s"$k link mismatch")
+      assert(math.abs(score - sc2) < 1e-9, s"$k score mismatch")
+    }
+  }
 }
