@@ -167,4 +167,68 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(math.abs(score - sc2) < 1e-9, s"$k score mismatch")
     }
   }
+
+  test("bm25 == independent plain-Scala scorer on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    for (seed <- Seq(2, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val terms = rnd.shuffle(vocab.toList).take(1 + rnd.nextInt(3))
+      val k = 15
+      val got = graft.search.Bm25
+        .search(docs.toDF("doc_id", "text"), terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      // independent scorer, same k1/b defaults and rounding convention
+      val (k1, b) = (1.2, 0.75)
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val n = docs.size.toDouble
+      val avgdl = docs.map(_._2.split(" ").length).sum / n
+      val df = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+      val expected = docs.flatMap { case (id, _) =>
+        val dl = toks(id).length.toDouble
+        val s = terms.map { t =>
+          val tf = toks(id).count(_ == t).toDouble
+          if (tf == 0 || df(t) == 0) 0.0
+          else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }.sum
+        if (terms.forall(t => !toks(id).contains(t))) None
+        else Some(id -> BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).toList
+      assert(got.map(_._1) == expected.map(_._1),
+        s"seed=$seed: top-k row set/order diverged")
+      got.zip(expected).foreach { case ((_, g), (_, e)) =>
+        assert(math.abs(g - e) < 2e-6, s"seed=$seed: score diverged: $g vs $e")
+      }
+    }
+  }
+
+  test("pagerank conserves total mass exactly at every compensation step") {
+    import spark.implicits._
+    for (seed <- Seq(8, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(120).toLong))
+        .filter { case (s, d) => s != d }
+        .toDF("src", "dst")
+      val (edges, lastQid) = graft.graph.PageRank.normalizeEdges(raw)
+      val res = graft.graph.PageRank.run(spark, edges, lastQid, iterations = 6)
+      val explicitRanks = res.ranks.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      assert(explicitRanks.forall(_._2 > 0.0), s"seed=$seed: nonpositive rank")
+      assert(res.background > 0.0)
+      // ranks = mass + comp for receiving nodes, background = comp for the
+      // rest, so sum(explicit) + (n - |explicit|) * background == 1 exactly
+      // (up to fp summation) after EVERY iteration — the loss-compensation
+      // contract (wikidatagraph.py:130-141 semantics)
+      val total = explicitRanks.map(_._2).sum +
+        (res.n - explicitRanks.length) * res.background
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"seed=$seed: total mass $total != 1")
+    }
+  }
 }
