@@ -231,4 +231,39 @@ class SparkPropertySpec extends AnyFunSuite {
         s"seed=$seed: total mass $total != 1")
     }
   }
+
+  test("CC distributed loop == union-find on pathological graph shapes") {
+    import spark.implicits._
+    // shapes that stress different loop behaviors: a deep chain (many
+    // pointer-jumping rounds), a hot star (one node on every edge — the
+    // skew case), and two dense cliques joined by a single bridge edge
+    val chain = (1L until 3000L).map(i => (i, i + 1))
+    val star = (2L to 400L).map(i => (5000L, 5000L + i))
+    val cliqueA = for (a <- 9000L to 9040L; b <- 9000L to 9040L if a < b)
+      yield (a, b)
+    val cliqueB = for (a <- 9500L to 9540L; b <- 9500L to 9540L if a < b)
+      yield (a, b)
+    val bridge = Seq((9040L, 9500L))
+    val all = chain ++ star ++ cliqueA ++ cliqueB ++ bridge
+    // independent oracle: path-compressing union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    spark.conf.set("spark.graft.cc.localSolveEdges", "0") // force the loop
+    try {
+      val got = graft.link.ConnectedComponents
+        .run(spark, all.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "distributed CC diverged from union-find")
+      // the chain, star and bridged cliques each collapse to one root
+      assert(got(3000L) == 1L && got(5400L) == 5000L && got(9540L) == 9000L)
+    } finally spark.conf.unset("spark.graft.cc.localSolveEdges")
+  }
 }
