@@ -249,6 +249,30 @@ class BenchSpec extends AnyFunSuite {
     assert(r3(p.effCpu) == 0.954)  // CPU median spans ALL attempts (417.035)
   }
 
+  test("gate pass funds the primary pair first, then the secondary") {
+    def res(secs: Double) = Bench.ScaleResult(640000,
+      Seq(trial(1, secs, 0.0, clean = true)))
+    // primary 1/4 below gate (0.5), secondary 2/8 also below (0.625):
+    // the primary is the gate-pass target while it reads < 0.8
+    val both = Map(1 -> res(200.0), 4 -> res(100.0),
+                   2 -> res(100.0), 8 -> res(40.0))
+    val p1 = Bench.nextGatePair(Seq(8, 2, 4, 1), both).get
+    assert((p1.lo, p1.hi) == (1, 4))
+    // the eighteenth-rehearsal shape: primary cleared (0.942-ish), secondary
+    // 0.759 — the pass now moves on to the secondary instead of stopping
+    val primaryOk = Map(1 -> res(376.9), 4 -> res(100.0),
+                        2 -> res(190.0), 8 -> res(62.6))
+    val p2 = Bench.nextGatePair(Seq(8, 2, 4, 1), primaryOk).get
+    assert((p2.lo, p2.hi) == (2, 8))
+    // both pairs at/above gate: nothing to fund
+    val allOk = Map(1 -> res(360.0), 4 -> res(100.0),
+                    2 -> res(200.0), 8 -> res(60.0))
+    assert(Bench.nextGatePair(Seq(8, 2, 4, 1), allOk).isEmpty)
+    // a pair with a missing side never draws gate budget
+    assert(Bench.nextGatePair(Seq(8, 2, 4, 1),
+      Map(1 -> res(200.0))).isEmpty)
+  }
+
   test("a retry that cannot finish inside its share is skipped, not launched") {
     // the fourteenth rehearsal's doomed launch: est=159 s into a 79 s share
     // (grace 60 s) -> 159*1.3+90 = 296.7 > 139 -> skip
