@@ -112,10 +112,20 @@ object Bench {
       else if (clean.nonEmpty) median(clean.map(_.secs))
       else minSecs
     def minSecs: Double = trials.map(_.secs).min
-    /** Median per-trial executor CPU seconds: the work actually consumed,
-      * immune to hypervisor steal (a stolen trial burns the same CPU over
-      * more wall). */
-    def cpuSecs: Double = median(trials.map(_.cpuSecs))
+    /** Per-trial executor CPU seconds: the work actually consumed. Immune
+      * to hypervisor STEAL (a stolen trial burns the same CPU over more
+      * wall) but NOT to kernel-time storms — sys time is charged to the
+      * process's threads, so a sys-flagged trial inflates cpuSecs too
+      * (rehearsal 19: a sys-flagged local[4] attempt at 1078 CPU-s vs 392
+      * clean dragged the raw CPU median to 735 and the published CPU
+      * estimator to 0.577 while the clean trial said 1.08). Use the same
+      * preference ladder as the wall estimator: ok median, else clean
+      * median, else min-of-attempts (storms only ADD kernel CPU, so the
+      * minimum is the least-contaminated sample). */
+    def cpuSecs: Double =
+      if (okOnly.nonEmpty) median(okOnly.map(_.cpuSecs))
+      else if (clean.nonEmpty) median(clean.map(_.cpuSecs))
+      else trials.map(_.cpuSecs).min
   }
 
   /** Scaling pairs (lo, hi=4*lo) over measured configs, with efficiencies

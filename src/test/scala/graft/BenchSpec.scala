@@ -76,8 +76,8 @@ class BenchSpec extends AnyFunSuite {
     assert((j \ "scaling_efficiency") == JDouble(0.797))
     // min wall: 100 / 31 / 4
     assert((j \ "scaling_efficiency_min_2_8") == JDouble(0.806))
-    // cpu: 196 / 221
-    assert((j \ "scaling_efficiency_cpu_2_8") == JDouble(0.887))
+    // cpu over clean trials only: 196 / 220.5
+    assert((j \ "scaling_efficiency_cpu_2_8") == JDouble(0.889))
     assert((j \ "pipeline_secs_8") == JDouble(32.0))
     assert((j \ "pipeline_secs_min_8") == JDouble(31.0))
     assert((j \ "trial_flags_8") == JArray(List(
@@ -234,7 +234,7 @@ class BenchSpec extends AnyFunSuite {
     // Literal trial lines from the sixteenth full run: neither primary-pair
     // side banked an ok trial, so both estimates come from the warn band
     // (symmetric weather inflation) and the sys-flagged local[4] attempt is
-    // excluded from the wall estimate but still counted in the CPU median.
+    // excluded from BOTH the wall and (post-rehearsal-19) the CPU estimate.
     val lo = Bench.ScaleResult(640000, Seq(
       Bench.parseTrial("TRIAL 1 408.094 1.299 1 54.4 106.9 397.886 warn").get))
     val hi = Bench.ScaleResult(640000, Seq(
@@ -242,11 +242,35 @@ class BenchSpec extends AnyFunSuite {
       Bench.parseTrial("TRIAL 4 104.232 0.693 2 14.1 70.7 389.378 warn").get))
     assert(hi.secs == 104.232)     // warn median ignores the sys attempt
     assert(hi.minSecs == 104.232)
+    assert(hi.cpuSecs == 389.378)  // ...and so does the CPU estimate now
     val Seq(p) = Bench.scalingPairs(Seq(1, 4), Map(1 -> lo, 4 -> hi))
     def r3(x: Double) = math.rint(x * 1000) / 1000
     assert(r3(p.eff) == 0.979)     // published BENCH_r5 rehearsal-16 trio
     assert(r3(p.effMin) == 0.979)
-    assert(r3(p.effCpu) == 0.954)  // CPU median spans ALL attempts (417.035)
+    assert(r3(p.effCpu) == 1.022)  // was 0.954 when the sys CPU leaked in
+  }
+
+  test("sys-flagged CPU storms stay out of the CPU estimator: rehearsal 19") {
+    // Literal trials from the nineteenth full run: the local[4] side held
+    // one clean trial (392 CPU-s) and one sys-storm attempt whose kernel
+    // time DOUBLED its recorded CPU (1078 CPU-s — sys time is charged to
+    // process threads, so the CPU estimator is NOT storm-immune). The raw
+    // all-attempts CPU median (735) published eff_cpu = 0.577 against the
+    // lo side's 424; the ladder keeps the clean trial's CPU alone.
+    val lo = Bench.ScaleResult(640000, Seq(
+      Bench.parseTrial("TRIAL 1 432.399 1.025 1 18.0 112.2 424.306 warn").get))
+    val hi = Bench.ScaleResult(640000, Seq(
+      Bench.parseTrial("TRIAL 4 105.350 0.817 1 16.0 62.9 392.365 ok").get,
+      Bench.parseTrial("TRIAL 4 300.213 10.041 2 155.2 725.3 1077.981 sys").get))
+    assert(hi.cpuSecs == 392.365)
+    val Seq(p) = Bench.scalingPairs(Seq(1, 4), Map(1 -> lo, 4 -> hi))
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    assert(r3(p.effCpu) == 1.081)  // published 0.577 pre-fix
+    // all trials flagged: min-of-attempts is the least-contaminated CPU
+    val allFlagged = Bench.ScaleResult(640000, Seq(
+      Bench.parseTrial("TRIAL 4 300.213 10.041 1 155.2 725.3 1077.981 sys").get,
+      Bench.parseTrial("TRIAL 4 250.000 5.000 2 120.0 500.0 800.000 stolen").get))
+    assert(allFlagged.cpuSecs == 800.0)
   }
 
   test("gate pass funds the primary pair first, then the secondary") {
