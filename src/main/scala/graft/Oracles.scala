@@ -824,6 +824,14 @@ object Oracles {
        |JOIN szs s2 ON s2.doc_id = i.doc2
        |WHERE CAST(i.common AS DOUBLE) / CAST(s1.sz + s2.sz - i.common AS DOUBLE) >= 0.5""".stripMargin
 
+  /** dd_incr: the incremental crawl-delta pass must equal the one-shot
+    * verified-pair set restricted to pairs touching the delta (the
+    * augmented re-crawl variants, doc_id >= 10^6). The oracle knows
+    * nothing about the committed index — only the result contract. */
+  val ddIncrSql: String =
+    s"""SELECT * FROM ($ddJaccardSql) q
+       |WHERE q.doc1 >= 1000000 OR q.doc2 >= 1000000""".stripMargin
+
   /** dd_clusters: verified near-dup pairs (the ddJaccardSql pipeline) →
     * undirected reachability closure via a recursive CTE (with self-loops
     * so isolated docs appear) → cluster = min reachable id, canonical =

@@ -291,6 +291,15 @@ object SparkEntry {
       graft.dedup.Dedup.nearDupClusters(s,
         graft.dedup.Dedup.augment(read(s, dir, "documents")))),
 
+    "dd_incr" -> ((s, dir) =>
+      // incremental crawl-delta dedup: day 1 (original docs) commits the
+      // MinHash index to snapshot tables; day 2 (the augmented re-crawl
+      // variants, doc_id >= 10^6) is deduped against the COMMITTED index
+      // plus itself — per-day work scales with the delta, not the corpus
+      graft.dedup.Dedup.incrementalNearDups(s,
+        graft.dedup.Dedup.augment(read(s, dir, "documents")),
+        col("doc_id") >= 1000000L)),
+
     "dd_embed" -> ((s, dir) =>
       // embedding-cosine near-dup: LSH buckets -> exact cosine verify,
       // over the deterministically-augmented embeddings (planted dups)
@@ -479,6 +488,7 @@ object SparkEntry {
     "dd_simhash" -> Oracles.ddSimhashSql,
     "dd_simhash_pairs" -> Oracles.ddSimhashPairsSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
+    "dd_incr" -> Oracles.ddIncrSql,
     "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,
     "ann_topk" -> Oracles.annTopkSql,

@@ -41,6 +41,27 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  // The incremental (committed-index) pass must reproduce the one-shot
+  // result restricted to pairs touching the delta, in BOTH id modes — the
+  // xxhash64 case is the load-bearing one: content-addressed ids make the
+  // day-1 index batch-independent, so the equality proves the delta can be
+  // processed with no access to day-1 text.
+  test("incremental delta dedup equals one-shot pairs touching the delta") {
+    import org.apache.spark.sql.functions.col
+    for (mode <- Seq("rank", "xxhash64")) {
+      val oneShot = Dedup.jaccardVerify(docs,
+          Dedup.minhashCandidates(docs, idMode = mode), 0.5, idMode = mode)
+        .filter(col("doc1") >= 1000000L || col("doc2") >= 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val incr = Dedup.incrementalNearDups(spark, docs,
+          col("doc_id") >= 1000000L, 0.5, idMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(incr.nonEmpty, s"mode=$mode produced no pairs")
+      assert(incr == oneShot, s"mode=$mode: " +
+        s"extra=${incr -- oneShot} missing=${oneShot -- incr}")
+    }
+  }
+
   test("fingerprint duplicate-grouping identical under both id modes") {
     def groups(mode: String): Set[Set[Long]] =
       TextStats.fingerprint(docs, idMode = mode)
