@@ -832,6 +832,44 @@ object Oracles {
     s"""SELECT * FROM ($ddJaccardSql) q
        |WHERE q.doc1 >= 1000000 OR q.doc2 >= 1000000""".stripMargin
 
+  /** dd_lines: line-level boilerplate removal over deterministically
+    * composed pages (Dedup.composePages reproduced verbatim: per-site
+    * header/footer templates on doc_id mod 7, rare badge on mod 97).
+    * A line is boilerplate when it occurs in >= 10 distinct docs; clean
+    * text = surviving lines rejoined in original order. The oracle groups
+    * hot lines by the line TEXT (semantics); Spark groups by a 128-bit
+    * digest (scale) — same contract as dd_exact. */
+  val ddLinesSql: String =
+    """WITH pages AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         'SITE ' || (doc_id % 7) || ' NAV home about contact products'
+      |           || chr(10)
+      |           || CASE WHEN doc_id % 97 = 0
+      |                   THEN 'BADGE award winner' || chr(10) ELSE '' END
+      |           || text || chr(10)
+      |           || 'COPYRIGHT site ' || (doc_id % 7) || ' all rights reserved'
+      |           AS text
+      |  FROM documents
+      |),
+      |lines AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+      |         unnest(string_split(text, chr(10))) AS line
+      |  FROM pages
+      |),
+      |hot AS MATERIALIZED (
+      |  SELECT line FROM lines GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= 10
+      |)
+      |SELECT l.doc_id,
+      |       coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+      |                           chr(10) ORDER BY l.pos), '') AS clean_text,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_removed
+      |FROM lines l LEFT JOIN hot h USING (line)
+      |GROUP BY l.doc_id""".stripMargin
+
   /** dd_clusters: verified near-dup pairs (the ddJaccardSql pipeline) →
     * undirected reachability closure via a recursive CTE (with self-loops
     * so isolated docs appear) → cluster = min reachable id, canonical =
@@ -1154,6 +1192,26 @@ object Oracles {
       |       CAST(epoch(last_w) AS BIGINT) AS last_ts,
       |       CAST(epoch(first_w) AS BIGINT) AS first_ts
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** dd_hostcap: per-host quota re-derived as the semantic definition —
+    * row_number over (warc_ts, url) per site key, keep rn <= 10. The oracle
+    * states the CONTRACT (a windowed rank); Spark meets it with two salted
+    * aggregations (no corpus-sized per-host window) — equality holds
+    * because (warc_ts, url) is a total order. */
+  val ddHostcapSql: String =
+    """WITH pages AS MATERIALIZED (
+      |  SELECT 'https://graft.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+      |         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts
+      |  FROM documents),
+      |r AS (
+      |  SELECT regexp_extract(url, '^[A-Za-z]+://[^/?#]+/([^/?#]+)', 1) AS host,
+      |         url, warc_ts,
+      |         row_number() OVER (
+      |           PARTITION BY regexp_extract(url, '^[A-Za-z]+://[^/?#]+/([^/?#]+)', 1)
+      |           ORDER BY warc_ts, url) AS rn
+      |  FROM pages)
+      |SELECT host, url, CAST(epoch(warc_ts) AS BIGINT) AS warc_ts
+      |FROM r WHERE rn <= 10""".stripMargin
 
   def mmExtractSql: String = {
     val pre = graft.sources.Pages.HtmlPrefix.length

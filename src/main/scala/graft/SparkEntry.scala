@@ -300,6 +300,13 @@ object SparkEntry {
         graft.dedup.Dedup.augment(read(s, dir, "documents")),
         col("doc_id") >= 1000000L)),
 
+    "dd_lines" -> ((s, dir) =>
+      // line-level boilerplate removal (CCNet-style): drop lines occurring
+      // in >= 10 distinct docs over deterministically composed pages
+      // (site header/footer templates), reassemble in original order
+      graft.dedup.Dedup.lineDedup(
+        graft.dedup.Dedup.composePages(read(s, dir, "documents")))),
+
     "dd_embed" -> ((s, dir) =>
       // embedding-cosine near-dup: LSH buckets -> exact cosine verify,
       // over the deterministically-augmented embeddings (planted dups)
@@ -402,6 +409,11 @@ object SparkEntry {
       // collapse to one canonical key; keep the latest crawl per key
       graft.sources.Pages.urlDedup(graft.sources.Pages.withUrlVariants(
         graft.sources.Pages.fromDocuments(read(s, dir, "documents"))))),
+    "dd_hostcap" -> ((s, dir) =>
+      // per-host anti-domination quota: keep the 10 earliest-crawled pages
+      // per site via two salted aggregations (no corpus-sized host window)
+      graft.sources.Pages.hostQuota(
+        graft.sources.Pages.fromDocuments(read(s, dir, "documents")))),
     "mm_features" -> ((s, dir) =>
       // batched binary feature extraction; the stub decode is a
       // deterministic byte histogram, so the DuckDB oracle re-derives f0
@@ -489,6 +501,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> Oracles.ddSimhashPairsSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
     "dd_incr" -> Oracles.ddIncrSql,
+    "dd_lines" -> Oracles.ddLinesSql,
     "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,
     "ann_topk" -> Oracles.annTopkSql,
@@ -506,6 +519,7 @@ object SparkEntry {
     // exact-by-construction Bloom variant: same result set, same oracle
     "dd_decontam_bloom" -> Oracles.ddDecontamSql,
     "dd_url" -> Oracles.ddUrlSql,
+    "dd_hostcap" -> Oracles.ddHostcapSql,
     "stream_dedup" -> Oracles.streamDedupSql,
     "stream_window" -> Oracles.streamWindowSql,
     // append mode emits exactly the finalized data windows => same oracle

@@ -408,4 +408,56 @@ object Dedup {
         array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(variant)
   }
+
+  /** Deterministic multi-line page assembly for [[lineDedup]]: the driver
+    * corpus is single-line, so wrap each document in site-template
+    * boilerplate the way a crawler sees rendered pages — a per-site nav
+    * header (site = doc_id mod 7, each template lands on ~1/7 of the
+    * corpus), the body, a per-site copyright footer, and a rare badge line
+    * (doc_id mod 97) that stays BELOW the removal threshold at test scale.
+    * Pure projection, reproduced verbatim in the SQL oracle. */
+  def composePages(docs: DataFrame): DataFrame = {
+    val site = (col("doc_id") % 7).cast("string")
+    docs.select(col("doc_id"), concat(
+      lit("SITE "), site, lit(" NAV home about contact products"), lit("\n"),
+      when(col("doc_id") % 97 === 0, lit("BADGE award winner\n")).otherwise(lit("")),
+      col("text"), lit("\n"),
+      lit("COPYRIGHT site "), site, lit(" all rights reserved")).as("text"))
+  }
+
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb cleaning pass):
+    * drop every line that occurs in at least `minDocs` DISTINCT documents —
+    * nav bars, cookie banners, copyright footers — and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Scale shape: one explode (doc-local), one aggregation keyed on a
+    * 128-bit line digest (the line TEXT never rides the exchange — same
+    * rationale and collision math as [[exactDups]]), one join-back on the
+    * digest, one doc-keyed regroup. The hot set is output-filtered to
+    * lines crossing the threshold, so by construction it has at most
+    * |lines|/minDocs entries and in practice is tiny (boilerplate is
+    * boilerplate because few templates cover many pages) — AQE broadcasts
+    * the join-back at runtime without a hint. No window over the corpus;
+    * per-doc line order is restored inside the per-doc aggregate. */
+  def lineDedup(docs: DataFrame, minDocs: Long = 10L): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val hashed = lines.select(col("doc_id"), col("pos"), col("line"),
+      xxhash64(col("line")).as("h1"),
+      xxhash64(col("line"), lit(1L)).as("h2"))
+    val hot = hashed.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h1"), col("h2"), lit(1).as("hot"))
+    hashed.join(hot, Seq("h1", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("hot").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("hot").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_removed"))
+  }
 }

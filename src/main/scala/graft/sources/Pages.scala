@@ -127,6 +127,35 @@ object Pages {
         max(col("warc_ts")).cast("long").as("last_ts"),
         min(col("warc_ts")).cast("long").as("first_ts"))
 
+  /** Per-host document quota (the RefinedWeb/C4 anti-domination cap): keep
+    * at most `k` pages per site, preferring the earliest crawl (total order
+    * (warc_ts, url), so the selection is deterministic and equals the
+    * row_number<=k definition the oracle uses). The synthetic corpus encodes
+    * the site in the url's first path segment (every page shares one test
+    * authority); production swaps the regex for the URL authority or a
+    * registrable-domain extractor — the plan is unchanged.
+    *
+    * Scale shape: NO corpus-sized per-host window (a hot host — a mega-blog
+    * platform — would pin an executor). Two salted aggregations instead:
+    * fan each host across `fanout` sub-groups keyed by a url hash, take the
+    * k earliest per sub-group (aggregation state = that sub-group only,
+    * |host|/fanout rows; size fanout so this fits), then merge the at most
+    * fanout*k survivors per host — bounded second stage regardless of host
+    * skew. Same salting philosophy as plans/SaltedJoin. */
+  def hostQuota(pages: DataFrame, k: Int = 10, fanout: Int = 16): DataFrame = {
+    val host = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+/([^/?#]+)", 1)
+    val item = struct(col("warc_ts"), col("url"))
+    pages
+      .select(host.as("host"), col("url"), col("warc_ts"))
+      .groupBy(col("host"), pmod(xxhash64(col("url")), lit(fanout)).as("fan"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+      .groupBy(col("host"))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("host"), explode(col("top")).as("kept"))
+      .select(col("host"), col("kept.url").as("url"),
+        col("kept.warc_ts").cast("long").as("warc_ts"))
+  }
+
   /** Multimodal feature extraction over opaque binary columns, batched per
     * partition (the Scala analogue of mapInPandas): rows are buffered into
     * batches of 64 and the decoder is invoked ONCE PER BATCH with the whole

@@ -70,6 +70,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"document body must not flow through an exchange:\n$p")
   }
 
+  test("dd_lines shuffles keyed on the line digest or doc_id, never the line") {
+    val p = plan(graft.dedup.Dedup.lineDedup(graft.dedup.Dedup.composePages(
+      spark.read.parquet(s"$sf/documents.parquet"))))
+    // the hot-line count partitions on the 128-bit digest; the reassembly
+    // regroup partitions on doc_id (kept lines ride THAT exchange as data,
+    // which is inherent to reassembly — but no exchange may KEY on them)
+    val parts = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(parts.nonEmpty && parts.forall(l =>
+      l.contains("hashpartitioning(h1#") || l.contains("hashpartitioning(doc_id#")),
+      s"exchange keys must be the digest or doc_id, not the line:\n$p")
+    assert(parts.forall(l => !l.matches(".*hashpartitioning\\(line#.*")),
+      s"no exchange may partition by the line text:\n$p")
+  }
+
   test("ann brute force broadcasts the query side, never a cartesian") {
     val p = plan(graft.sim.Ann.bruteForceTopK(
       spark.read.parquet(s"$sf/embeddings.parquet")))

@@ -542,4 +542,53 @@ class Wave2Spec extends AnyFunSuite {
     val feats = r.getAs[scala.collection.Seq[Double]]("features")
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
+
+  test("host quota: cap respected, earliest kept, salting is result-exact") {
+    val pages = Pages.fromDocuments(docs)
+    def quota(fanout: Int): Map[String, Set[String]] =
+      Pages.hostQuota(pages, k = 10, fanout = fanout).collect()
+        .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+        .map { case (h, g) => h -> g.map(_._2).toSet }
+    val out = quota(16)
+    // 20 sources x 25 docs at sf0.001 -> every host capped to exactly 10
+    assert(out.keySet.size == 20 && out.values.forall(_.size == 10))
+    // kept = the 10 earliest crawls (warc_ts ~ doc_id) per site
+    val expected = docs.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, g) => s -> g.map(_._2).sorted.take(10).toSet }
+    for ((h, kept) <- out)
+      assert(kept.map(_.split("/").last.toLong) == expected(h), s"host $h")
+    // the fanout split must not change the selection (total-order argmin)
+    assert(quota(1) == out && quota(64) == out)
+  }
+
+  test("line dedup: templates removed, rare badge kept, body order intact") {
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.lineDedup(Dedup.composePages(docs)).collect()
+    assert(out.length == orig.size)
+    for (r <- out) {
+      val (id, clean) = (r.getLong(0), r.getString(1))
+      // header + footer occur in ~1/7 of the corpus each -> always removed
+      assert(r.getLong(3) == 2, s"doc $id removed ${r.getLong(3)} lines")
+      assert(!clean.contains("SITE ") && !clean.contains("COPYRIGHT"))
+      if (id % 97 == 0) // badge is in only ~6 docs at sf0.001 -> kept
+        assert(clean == s"BADGE award winner\n${orig(id)}" && r.getLong(2) == 4)
+      else
+        assert(clean == orig(id) && r.getLong(2) == 3)
+    }
+  }
+
+  test("line dedup: threshold boundary, mid-doc removal, all-boilerplate doc") {
+    // "ad" sits in exactly minDocs docs (removed, mid-document), "rare" in
+    // minDocs-1 (kept); doc 99 is ONLY boilerplate -> clean_text == ""
+    val rows = (0L until 3L).map(i => (i, s"u$i\nad\nv$i")) ++
+      Seq((10L, "a\nrare"), (11L, "rare\nb"), (99L, "ad"))
+    val out = Dedup.lineDedup(rows.toDF("doc_id", "text"), minDocs = 4L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ("u0\nv0", 3L, 1L)) // removal preserves order
+    assert(out(10L) == ("a\nrare", 2L, 0L)) // below threshold: kept
+    assert(out(99L) == ("", 1L, 1L)) // fully-boilerplate doc survives empty
+  }
 }
