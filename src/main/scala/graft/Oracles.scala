@@ -1026,6 +1026,22 @@ object Oracles {
       |             FROM unnest(string_split(text, ' ')) t(tok)) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
+  /** ts_profile: per-language corpus profile with EXACT type-7 length
+    * percentiles — DuckDB quantile_cont and Spark's `percentile` use the
+    * same linear interpolation (rank = p*(n-1)), so values compare exactly
+    * under the repo's round-to-6 convention. */
+  val tsProfileSql: String =
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       round(avg(n_chars), 6) AS mean_chars,
+      |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+      |       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+      |       min(n_chars) AS min_chars,
+      |       max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** ts_pack: the global exclusive prefix sum of whitespace-token counts in
     * doc_id order, sharded at 2048 tokens — the naive one-window SQL form
     * of the engine's two-phase distributed prefix sum. */

@@ -333,6 +333,10 @@ object SparkEntry {
       graft.textstats.TextStats.quality(read(s, dir, "documents"))),
     "ts_tokens" -> ((s, dir) =>
       graft.textstats.TextStats.tokenCounts(read(s, dir, "documents"))),
+    "ts_profile" -> ((s, dir) =>
+      // per-language curation report: doc counts, token totals, exact
+      // type-7 length percentiles (counts-map state, one lang shuffle)
+      graft.textstats.TextStats.profile(read(s, dir, "documents"))),
     "ts_fingerprint" -> ((s, dir) =>
       graft.textstats.TextStats.fingerprint(read(s, dir, "documents"))),
     "ts_bm25" -> ((s, dir) =>
@@ -508,6 +512,7 @@ object SparkEntry {
     "ts_langid" -> Oracles.tsLangidSql,
     "ts_quality" -> Oracles.tsQualitySql,
     "ts_tokens" -> Oracles.tsTokensSql,
+    "ts_profile" -> Oracles.tsProfileSql,
     "ts_bm25" -> Oracles.tsBm25Sql,
     "ts_fingerprint" -> Oracles.tsFingerprintSql,
     "ts_pack" -> Oracles.tsPackSql,

@@ -281,4 +281,32 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg((sum((col("wid") * col("mult")) % lit(p)) % lit(p)).as("fingerprint"))
   }
+
+  /** Per-language corpus profile (the "know your data" curation report):
+    * doc counts, token totals, and EXACT type-7 length percentiles — the
+    * numbers a 100 TB curation run publishes per shard before filtering
+    * thresholds are chosen.
+    *
+    * Exact (not approx_percentile) is affordable here because Spark's
+    * `percentile` aggregates a counts-map over DISTINCT values per group:
+    * state is bounded by the value domain (document lengths, ~10^6
+    * distinct at any corpus size), not by row count — and the group key
+    * (lang) has trivial cardinality. Both engines use the same type-7
+    * linear interpolation, so percentiles compare exactly after the
+    * repo's round-to-6 convention. One shuffle on lang, partial
+    * aggregation map-side. */
+  def profile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"),
+        round(percentile(col("n_chars"), lit(0.99)), 6).as("p99_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
 }

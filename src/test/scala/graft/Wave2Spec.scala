@@ -543,6 +543,17 @@ class Wave2Spec extends AnyFunSuite {
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
 
+  test("corpus profile: exact type-7 percentiles match the closed form") {
+    val df = (1 to 10).map(i => ("xx", ("w " * i).trim, i.toLong))
+      .toDF("lang", "text", "n_chars")
+    val r = TextStats.profile(df).head()
+    assert(r.getString(0) == "xx" && r.getLong(1) == 10L && r.getLong(2) == 55L)
+    assert(r.getDouble(3) == 5.5) // mean
+    // type-7: rank = p*(n-1) -> p50 = 5.5, p90 = 9.1, p99 = 9.91
+    assert(r.getDouble(4) == 5.5 && r.getDouble(5) == 9.1 && r.getDouble(6) == 9.91)
+    assert(r.getLong(7) == 1L && r.getLong(8) == 10L)
+  }
+
   test("host quota: cap respected, earliest kept, salting is result-exact") {
     val pages = Pages.fromDocuments(docs)
     def quota(fanout: Int): Map[String, Set[String]] =
