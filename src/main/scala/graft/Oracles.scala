@@ -832,6 +832,61 @@ object Oracles {
     s"""SELECT * FROM ($ddJaccardSql) q
        |WHERE q.doc1 >= 1000000 OR q.doc2 >= 1000000""".stripMargin
 
+  /** dd_substr: cross-document exact-substring duplication (Lee et al.
+    * 2022 granularity) re-derived — L=20 token grams at every position,
+    * grams shared by >= 2 distinct docs, covered tokens via the same
+    * merge-intervals running-max window per doc. The oracle groups shared
+    * grams by the gram TEXT (semantics); Spark counts per 128-bit digest
+    * (scale) — the dd_exact contract. Runs on the augmented corpus, whose
+    * planted suffix variants guarantee long shared spans; the synthetic
+    * texts also carry natural cross-doc 20-gram repeats, seen identically
+    * by both engines. */
+  val ddSubstrSql: String =
+    """WITH aug AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[6:], ' ') AS text
+      |  FROM documents WHERE doc_id % 50 = 0
+      |),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM aug
+      |),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, generate_subscripts(gl, 1) AS pos, unnest(gl) AS gram
+      |  FROM (SELECT doc_id,
+      |               CASE WHEN len(t) >= 20
+      |                    THEN list_transform(range(1, len(t) - 18),
+      |                                        i -> array_to_string(t[i:i+19], ' '))
+      |                    ELSE [] END AS gl
+      |        FROM toks)
+      |),
+      |shared AS MATERIALIZED (
+      |  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      |),
+      |m AS (
+      |  SELECT g.doc_id, g.pos, g.pos + 19 AS e
+      |  FROM grams g JOIN shared USING (gram)
+      |),
+      |c AS (
+      |  SELECT doc_id,
+      |         greatest(0, e - greatest(
+      |           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                 AND 1 PRECEDING), -1),
+      |           pos - 1)) AS contrib
+      |  FROM m
+      |),
+      |cov AS (
+      |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS n_dup FROM c GROUP BY doc_id
+      |)
+      |SELECT a.doc_id,
+      |       CAST(len(string_split(a.text, ' ')) AS INTEGER) AS n_tokens,
+      |       coalesce(cov.n_dup, 0) AS n_dup_tokens,
+      |       round(coalesce(cov.n_dup, 0) * 1.0
+      |             / len(string_split(a.text, ' ')), 6) AS dup_frac
+      |FROM aug a LEFT JOIN cov USING (doc_id)""".stripMargin
+
   /** dd_lines: line-level boilerplate removal over deterministically
     * composed pages (Dedup.composePages reproduced verbatim: per-site
     * header/footer templates on doc_id mod 7, rare badge on mod 97).

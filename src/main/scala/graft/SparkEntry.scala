@@ -300,6 +300,13 @@ object SparkEntry {
         graft.dedup.Dedup.augment(read(s, dir, "documents")),
         col("doc_id") >= 1000000L)),
 
+    "dd_substr" -> ((s, dir) =>
+      // exact-substring duplication (Lee et al. 2022): tokens covered by a
+      // 20-token span occurring verbatim in another doc; digest-keyed gram
+      // counts + per-doc merge-intervals window (no corpus window)
+      graft.dedup.Dedup.substrDups(
+        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+
     "dd_lines" -> ((s, dir) =>
       // line-level boilerplate removal (CCNet-style): drop lines occurring
       // in >= 10 distinct docs over deterministically composed pages
@@ -505,6 +512,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> Oracles.ddSimhashPairsSql,
     "dd_jaccard" -> Oracles.ddJaccardSql,
     "dd_incr" -> Oracles.ddIncrSql,
+    "dd_substr" -> Oracles.ddSubstrSql,
     "dd_lines" -> Oracles.ddLinesSql,
     "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,

@@ -409,6 +409,55 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).unionByName(variant)
   }
 
+  /** Cross-document exact-substring duplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" granularity):
+    * for every document, the number of tokens covered by some L-token span
+    * that also appears verbatim in ANOTHER document, plus the covered
+    * fraction — the signal used to cut duplicated spans (or whole docs past
+    * a threshold) out of a training corpus.
+    *
+    * Plan: one doc-local flatMap emits the L-gram at every position; grams
+    * are counted per 128-bit digest (the gram STRING never rides an
+    * exchange key — [[exactDups]]' rationale and collision math; a 31-bit
+    * portable hash would birthday-collide at ~10^5 grams and silently
+    * overcount); digests in >= 2 distinct docs join back to their positions;
+    * covered-token counts come from a classic merge-intervals running-max
+    * window PARTITIONED BY doc — bounded by tokens-per-document, never
+    * corpus-sized — rather than exploding the L positions under each match
+    * (an L-times row blowup exactly where duplication is worst). Within-doc
+    * repetition is deliberately excluded (that is [[graft.textstats
+    * .TextStats.repetition]]'s job): a span must occur in two DOCUMENTS. */
+  def substrDups(docs: DataFrame, spanTokens: Int = 20): DataFrame = {
+    val L = spanTokens
+    val toks = split(col("text"), " ")
+    val gl = when(size(toks) >= L, expr(
+      s"transform(sequence(0, size(split(text, ' ')) - $L), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $L)))"))
+      .otherwise(array())
+    val grams = docs.select(col("doc_id"), posexplode(gl).as(Seq("pos", "gram")))
+    val hashed = grams.select(col("doc_id"), col("pos"),
+      xxhash64(col("gram")).as("g1"),
+      xxhash64(col("gram"), lit(1L)).as("g2"))
+    val shared = hashed.groupBy(col("g1"), col("g2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g1"), col("g2"))
+    val matched = hashed.join(shared, Seq("g1", "g2"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(L - 1)).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = matched
+      .select(col("doc_id"), greatest(lit(0L),
+        col("e") - greatest(coalesce(max(col("e")).over(w), lit(-1L)),
+          col("pos") - lit(1))).as("contrib"))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("n_dup_tokens"))
+    docs.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
+
   /** Deterministic multi-line page assembly for [[lineDedup]]: the driver
     * corpus is single-line, so wrap each document in site-template
     * boilerplate the way a crawler sees rendered pages — a per-site nav

@@ -85,6 +85,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no exchange may partition by the line text:\n$p")
   }
 
+  test("dd_hostcap plan contains no window operator (salted aggregations)") {
+    val p = plan(graft.sources.Pages.hostQuota(graft.sources.Pages
+      .fromDocuments(spark.read.parquet(s"$sf/documents.parquet"))))
+    // the semantic contract is a per-host rank, but the PLAN must be the
+    // two salted aggregations — a per-host Window would pin an executor
+    // on a mega-host at scale
+    assert(!p.contains("Window"), s"host quota must not plan a window:\n$p")
+  }
+
+  test("dd_substr exchanges key on the gram digest or doc_id, never gram text") {
+    val p = plan(graft.dedup.Dedup.substrDups(graft.dedup.Dedup.augment(
+      spark.read.parquet(s"$sf/documents.parquet"))))
+    val parts = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(parts.nonEmpty && parts.forall(l =>
+      l.contains("hashpartitioning(g1#") || l.contains("hashpartitioning(doc_id#")),
+      s"exchange keys must be the digest or doc_id:\n$p")
+    assert(parts.forall(l => !l.matches(".*hashpartitioning\\(gram#.*")),
+      s"no exchange may partition by the gram text:\n$p")
+  }
+
   test("ann brute force broadcasts the query side, never a cartesian") {
     val p = plan(graft.sim.Ann.bruteForceTopK(
       spark.read.parquet(s"$sf/embeddings.parquet")))

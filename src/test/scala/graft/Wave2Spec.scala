@@ -543,6 +543,24 @@ class Wave2Spec extends AnyFunSuite {
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
 
+  test("substring dedup: shared 25-span merges to 25, 19-span is invisible") {
+    val span = (0 until 25).map(i => s"s$i").mkString(" ")
+    val short = (0 until 19).map(i => s"t$i").mkString(" ")
+    val rows = Seq(
+      (1L, (0 until 8).map(i => s"a$i").mkString(" ") + " " + span + " " +
+        (8 until 16).map(i => s"a$i").mkString(" ")),
+      (2L, "b0 b1 " + span + " b2 b3"),
+      (3L, "c0 c1 c2 " + short),
+      (4L, "d0 d1 d2 " + short))
+    val out = Dedup.substrDups(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // six overlapping 20-gram hits merge to ONE 25-token interval, not 120
+    assert(out(1L) == ((41, 25L)))
+    assert(out(2L) == ((29, 25L)))
+    // a 19-token shared run has no 20-gram: below the span threshold
+    assert(out(3L) == ((22, 0L)) && out(4L) == ((22, 0L)))
+  }
+
   test("corpus profile: exact type-7 percentiles match the closed form") {
     val df = (1 to 10).map(i => ("xx", ("w " * i).trim, i.toLong))
       .toDF("lang", "text", "n_chars")
