@@ -887,6 +887,96 @@ object Oracles {
       |             / len(string_split(a.text, ' ')), 6) AS dup_frac
       |FROM aug a LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  /** dd_pipeline: the composed cleaning decision — template pages →
+    * line-level boilerplate removal → exact dedup on the CLEANED text
+    * (canonical = min doc_id; window-over-text here states the semantic,
+    * Spark groups by digest) → quality + language id over the cleaned text
+    * → one kept verdict. Exact-copy plants at doc_id mod 25 (id +3e6);
+    * doc 0's copy deliberately survives dedup because the original keeps
+    * its rare BADGE line — dedup-after-cleaning is order-sensitive. */
+  def ddPipelineSql: String = {
+    val stop = graft.textstats.TextStats.Markers.flatMap(_._2).distinct.sorted
+      .map(q).mkString(", ")
+    val markers = graft.textstats.TextStats.Markers.map { case (lang, ws) =>
+      s"(${q(lang)}, [${ws.map(q).mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH copies AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 25 = 0
+       |),
+       |pages AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         'SITE ' || (doc_id % 7) || ' NAV home about contact products'
+       |           || chr(10)
+       |           || CASE WHEN doc_id % 97 = 0
+       |                   THEN 'BADGE award winner' || chr(10) ELSE '' END
+       |           || text || chr(10)
+       |           || 'COPYRIGHT site ' || (doc_id % 7) || ' all rights reserved'
+       |           AS text
+       |  FROM copies
+       |),
+       |lns AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+       |         unnest(string_split(text, chr(10))) AS line
+       |  FROM pages
+       |),
+       |hot AS MATERIALIZED (
+       |  SELECT line FROM lns GROUP BY line
+       |  HAVING count(DISTINCT doc_id) >= 10
+       |),
+       |cleaned AS MATERIALIZED (
+       |  SELECT l.doc_id,
+       |         coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+       |                             chr(10) ORDER BY l.pos), '') AS text
+       |  FROM lns l LEFT JOIN hot h USING (line)
+       |  GROUP BY l.doc_id
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS dup_group
+       |  FROM cleaned
+       |),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+       |         CAST(len(list_intersect(string_split(text, ' '), [$stop])) AS DOUBLE) AS n_stop,
+       |         CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM cleaned
+       |),
+       |qual AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         round(0.4 * (n_distinct / n_tokens)
+       |               + 0.3 * (1.0 - n_stop / n_tokens)
+       |               + 0.3 * least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0), 6)
+       |           AS quality
+       |  FROM t
+       |),
+       |m(lang, words) AS (VALUES $markers),
+       |scores AS MATERIALIZED (
+       |  SELECT c.doc_id, m.lang,
+       |         len(list_intersect(string_split(c.text, ' '), m.words)) AS hits
+       |  FROM cleaned c CROSS JOIN m
+       |),
+       |pred AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+       |        FROM scores)
+       |  WHERE rn = 1
+       |)
+       |SELECT c.doc_id, canon.dup_group, pred.pred_lang, qual.quality,
+       |       (canon.dup_group = c.doc_id AND qual.quality >= 0.64
+       |        AND pred.pred_lang <> 'und') AS kept
+       |FROM cleaned c
+       |JOIN canon USING (doc_id)
+       |JOIN qual USING (doc_id)
+       |JOIN pred USING (doc_id)""".stripMargin
+  }
+
   /** dd_lines: line-level boilerplate removal over deterministically
     * composed pages (Dedup.composePages reproduced verbatim: per-site
     * header/footer templates on doc_id mod 7, rare badge on mod 97).

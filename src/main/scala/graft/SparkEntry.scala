@@ -300,6 +300,12 @@ object SparkEntry {
         graft.dedup.Dedup.augment(read(s, dir, "documents")),
         col("doc_id") >= 1000000L)),
 
+    "dd_pipeline" -> ((s, dir) =>
+      // the composed nightly cleaning decision: boilerplate removal ->
+      // exact dedup on cleaned text -> quality + langid -> kept verdict,
+      // all as one declarative plan (each stage is its oracled operator)
+      graft.dedup.Dedup.cleanCorpus(read(s, dir, "documents"))),
+
     "dd_substr" -> ((s, dir) =>
       // exact-substring duplication (Lee et al. 2022): tokens covered by a
       // 20-token span occurring verbatim in another doc; digest-keyed gram
@@ -513,6 +519,7 @@ object SparkEntry {
     "dd_jaccard" -> Oracles.ddJaccardSql,
     "dd_incr" -> Oracles.ddIncrSql,
     "dd_substr" -> Oracles.ddSubstrSql,
+    "dd_pipeline" -> Oracles.ddPipelineSql,
     "dd_lines" -> Oracles.ddLinesSql,
     "dd_clusters" -> Oracles.ddClustersSql,
     "dd_embed" -> Oracles.ddEmbedSql,

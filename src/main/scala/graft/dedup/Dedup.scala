@@ -398,6 +398,41 @@ object Dedup {
         min(col("gram")).as("sample_gram"))
   }
 
+  /** The end-to-end crawl-cleaning DECISION as ONE declarative plan — the
+    * composition a real curation run executes nightly: template pages →
+    * line-level boilerplate removal ([[lineDedup]]) → exact dedup on the
+    * CLEANED text ([[exactDups]]; canonical = min doc_id) → quality scoring
+    * and language id over the cleaned text (TextStats) → one `kept` verdict
+    * per document. Every stage is the already-oracled operator applied
+    * unchanged; Catalyst fuses the doc_id-keyed join-backs, so the whole
+    * pass stays a handful of hash aggregations with no corpus window.
+    *
+    * Exact-copy plants (doc_id mod 25, id +3*10^6) make the dedup stage
+    * observable at test scale — the driver corpus has no identical texts —
+    * mirroring [[augment]]'s near-dup plants. One planted copy (doc 0's)
+    * deliberately survives dedup: the original carries the rare BADGE line
+    * its copy does not, so their CLEANED texts differ — dedup-after-cleaning
+    * is order-sensitive, and both engines must agree on that. */
+  def cleanCorpus(docs: DataFrame, minQuality: Double = 0.64): DataFrame = {
+    import graft.textstats.TextStats
+    val withCopies = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+    val cleaned = lineDedup(composePages(withCopies))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val canon = exactDups(cleaned).select(col("doc_id"), col("dup_group"))
+    val qual = TextStats.quality(cleaned).select(col("doc_id"), col("quality"))
+    val lang = TextStats.langId(cleaned).select(col("doc_id"), col("pred_lang"))
+    cleaned.select(col("doc_id"))
+      .join(canon, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .select(col("doc_id"), col("dup_group"), col("pred_lang"), col("quality"),
+        (col("dup_group") === col("doc_id") &&
+          col("quality") >= lit(minQuality) &&
+          col("pred_lang") =!= lit("und")).as("kept"))
+  }
+
   /** Deterministic near-dup augmentation for small scale factors (the
     * driver corpus has no planted near-dups below sf0.1): every 50th doc
     * gets a variant with the first 5 tokens dropped, id +10^6. Pure

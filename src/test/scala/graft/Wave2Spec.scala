@@ -543,6 +543,26 @@ class Wave2Spec extends AnyFunSuite {
     assert(feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9)
   }
 
+  test("clean pipeline: copies dedupe, badge-protected copy survives, und dropped") {
+    val out = Dedup.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(4)))).toMap
+    assert(out.size == 520) // 500 docs + 20 planted exact copies
+    // every planted copy except doc 0's dedupes onto its original (and is
+    // therefore never kept); originals stay canonical
+    for (d <- 25L until 500L by 25L) {
+      assert(out(d + 3000000L)._1 == d && !out(d + 3000000L)._3, s"copy of $d")
+      assert(out(d)._1 == d)
+    }
+    // doc 0 keeps its rare BADGE line, its copy does not: the CLEANED texts
+    // differ, so dedup-after-cleaning leaves both canonical
+    assert(out(3000000L)._1 == 3000000L)
+    // the verdict composes: nothing kept is 'und' or non-canonical
+    assert(out.forall { case (id, (grp, lang, kept)) =>
+      !kept || (grp == id && lang != "und") })
+    assert(out.values.exists(_._3) && out.values.exists(!_._3))
+  }
+
   test("substring dedup: shared 25-span merges to 25, 19-span is invisible") {
     val span = (0 until 25).map(i => s"s$i").mkString(" ")
     val short = (0 until 19).map(i => s"t$i").mkString(" ")
