@@ -266,4 +266,104 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(got(3000L) == 1L && got(5400L) == 5000L && got(9540L) == 9000L)
     } finally spark.conf.unset("spark.graft.cc.localSolveEdges")
   }
+
+  test("lineDedup == sequential line-frequency oracle on random pages") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 30).map(i => s"line$i content ${i % 5}")
+      val minDocs = 3L + rnd.nextInt(4)
+      val rows = (0 until 80 + rnd.nextInt(120)).map { i =>
+        (i.toLong * 7 + 2,
+          Seq.fill(3 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+            .mkString("\n"))
+      }
+      // sequential oracle: a line is hot when it appears in >= minDocs
+      // DISTINCT docs; rebuild each doc from its surviving lines in order
+      val docsPerLine = rows
+        .flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, g) => l -> g.size.toLong }
+      val expected = rows.map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l => docsPerLine(l) < minDocs)
+        id -> ((kept.mkString("\n"), lines.length.toLong,
+          (lines.length - kept.length).toLong))
+      }.toMap
+      val got = graft.dedup.Dedup
+        .lineDedup(rows.toDF("doc_id", "text"), minDocs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"seed=$seed minDocs=$minDocs: diverged")
+    }
+  }
+
+  test("hostQuota == sequential per-host top-k under every fanout") {
+    import spark.implicits._
+    for (seed <- Seq(5, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val hosts = (0 until 6).map(i => s"site$i")
+      val k = 2 + rnd.nextInt(5)
+      val rows = (0 until 150 + rnd.nextInt(150)).map { i =>
+        val h = hosts(rnd.nextInt(hosts.size))
+        // unique urls; ts collisions allowed (url breaks the tie)
+        (s"https://h.test/$h/p$i", 1700000000L + rnd.nextInt(500))
+      }
+      val pages = rows.toDF("url", "ts")
+        .select($"url", $"ts".cast("timestamp").as("warc_ts"))
+      val expected = rows
+        .map { case (u, t) => (u.split("/")(3), u, t) }
+        .groupBy(_._1).flatMap { case (_, g) =>
+          g.sortBy(r => (r._3, r._2)).take(k)
+        }
+        .map(r => (r._1, r._2, r._3)).toSet
+      for (fanout <- Seq(1, 8, 32)) {
+        val got = graft.sources.Pages.hostQuota(pages, k, fanout)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSet
+        assert(got == expected, s"seed=$seed k=$k fanout=$fanout: diverged")
+      }
+    }
+  }
+
+  test("substrDups == sequential gram-coverage oracle with planted spans") {
+    import spark.implicits._
+    val L = 20
+    for (seed <- Seq(11, 77, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val built = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      val rows = (0 until 60 + rnd.nextInt(60)).map { i =>
+        val base = Array.fill(25 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        // plant a shared span: splice a random >=L slice of an earlier doc
+        val t = if (built.nonEmpty && rnd.nextDouble() < 0.4) {
+          val src = built(rnd.nextInt(built.length))
+          val len = math.min(src.length, L + rnd.nextInt(16))
+          val from = rnd.nextInt(src.length - len + 1)
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ src.slice(from, from + len) ++ base.drop(at)
+        } else base
+        built += t
+        (i.toLong * 3 + 1, t.mkString(" "))
+      }
+      // sequential oracle: grams in >=2 distinct docs; covered = union of
+      // [p, p+L) over matched gram positions
+      val toks = rows.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val gramDocs = rows
+        .flatMap { case (id, _) =>
+          val tk = toks(id)
+          (0 to tk.length - L).map(p => (tk.slice(p, p + L).mkString(" "), id))
+        }
+        .distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val expected = rows.map { case (id, _) =>
+        val tk = toks(id)
+        val matched = (0 to tk.length - L)
+          .filter(p => gramDocs(tk.slice(p, p + L).mkString(" ")) >= 2)
+        id -> ((tk.length, matched.flatMap(p => p until p + L).distinct.size.toLong))
+      }.toMap
+      val got = graft.dedup.Dedup.substrDups(rows.toDF("doc_id", "text"), L)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed=$seed: coverage diverged")
+    }
+  }
 }
