@@ -94,6 +94,52 @@ object Pipeline {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Widen a frame whose scan parallelism collapsed below the session's
+    * core count (guide §2.5 "input skew — repartition immediately after the
+    * read"): the driver's corpus tables are single small parquet files with
+    * one row group, so every CPU-heavy per-row stage downstream (shingling,
+    * n-gram explode, URL canonicalization, vector kernels) runs on 1-2
+    * tasks at local[32] without this. Adaptive, not constant: a production
+    * corpus arrives in thousands of splits, `getNumPartitions >= cores`
+    * holds, and no extra exchange is inserted. */
+  private def widen(df: DataFrame): DataFrame = {
+    // 8 slices, not defaultParallelism: measured on the query corpus, a
+    // 32-wide cache made every downstream shuffle write cores*shufflePartitions
+    // tiny blocks (5-7 s of shuffle-write/sys churn per stage) and turned
+    // each cache re-scan into a 32-task scheduling round, costing more than
+    // the extra parallelism bought; 8 slices amortize the per-task overhead
+    // while cutting the former 1-2-task CPU bottleneck 4-8x. Inputs that
+    // already arrive well-split (any real corpus) are left untouched.
+    val target = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** The documents table, width-adapted and cached per (session, sfDir):
+    * the dedup/textstats/pages query families each re-read and re-project
+    * this scan; sharing one cached, well-partitioned copy removes both the
+    * repeated read and the 1-task scan bottleneck. */
+  def docsWide(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "docs_wide") { widen(documents(spark, sfDir)) }
+
+  /** The embeddings table, width-adapted and cached (ann_* / dd_embed all
+    * run per-row vector kernels over it). */
+  def embWide(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "emb_wide") {
+      widen(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    }
+
+  /** Shared shingle-id stage for the dedup family: dd_minhash, dd_simhash,
+    * dd_simhash_pairs, dd_jaccard, dd_clusters and dd_incr all start from
+    * docShingleIds(augment(documents)) — previously recomputed per query
+    * (the single most expensive repeated subtree in the per-query table).
+    * One cached build, first user pays (the same contract as the el_*
+    * stage caches). */
+  def augShingleIds(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "dd_shingle_ids") {
+      graft.dedup.Dedup.docShingleIds(
+        graft.dedup.Dedup.augment(docsWide(spark, sfDir)))
+    }
+
   // Parsed synthetic dump, cached per session: el_bow and el_pagerank
   // re-derive their models from the dump (the reference's train-bow /
   // compute-pagerank entry points), and re-parsing the dump inside each
@@ -136,7 +182,7 @@ object Pipeline {
   def mentions(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "mentions") {
       val a = artifacts(spark)
-      Mentions.extract(documents(spark, sfDir), a.dictKeys, a.maxKeyTokens, a.analyzer)
+      Mentions.extract(docsWide(spark, sfDir), a.dictKeys, a.maxKeyTokens, a.analyzer)
     }
 
   /** ranked candidates (top-10 per mention). */
@@ -153,7 +199,7 @@ object Pipeline {
       params: Scoring.Params = Scoring.Params()): DataFrame =
     cached(spark, sfDir, s"annotate:$params") {
       graft.link.FusedAnnotate.annotate(
-        documents(spark, sfDir), artifacts(spark), params,
+        docsWide(spark, sfDir), artifacts(spark), params,
         Scoring.defaultModel(params.nbSteps))
     }
 
@@ -167,7 +213,7 @@ object Pipeline {
   def annotateSalted(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "annotate_salted") {
       graft.link.FusedAnnotate.annotate(
-        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        docsWide(spark, sfDir), artifacts(spark), Scoring.Params(),
         Scoring.defaultModel(), strategy = "salted", saltHotThreshold = 1L)
     }
 
@@ -178,7 +224,7 @@ object Pipeline {
   def annotateCtx(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "annotate_ctx") {
       graft.link.FusedAnnotate.annotate(
-        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        docsWide(spark, sfDir), artifacts(spark), Scoring.Params(),
         Scoring.ctxModel())
     }
 
@@ -210,7 +256,7 @@ object Pipeline {
   def annotateTrained(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "annotate_trained") {
       graft.link.FusedAnnotate.annotate(
-        documents(spark, sfDir), artifacts(spark), Scoring.Params(),
+        docsWide(spark, sfDir), artifacts(spark), Scoring.Params(),
         Scoring.loadModel(spark, trainedModelPath))
     }
 
@@ -227,7 +273,7 @@ object Pipeline {
   def annotateIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ckpt.Snapshots
     val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
-    val docs = documents(spark, sfDir)
+    val docs = docsWide(spark, sfDir)
     val a = artifacts(spark)
     def annotateBatch(batch: DataFrame) =
       graft.link.FusedAnnotate.annotate(batch, a, Scoring.Params(),

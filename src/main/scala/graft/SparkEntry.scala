@@ -258,28 +258,32 @@ object SparkEntry {
           col("component").cast("long").as("component"))),
 
     // ---- dedup suite --------------------------------------------------------
+    // The dd_* family shares two cached stages (Pipeline.docsWide /
+    // Pipeline.augShingleIds): every query below previously re-read the
+    // 1-split documents scan and re-ran the shingle-id subtree from
+    // scratch — the dominant repeated cost in the per-query table, and a
+    // 1-2 task bottleneck at local[32] (see OPTIMIZATION_r06.md).
     "dd_exact" -> ((s, dir) =>
-      graft.dedup.Dedup.exactDups(read(s, dir, "documents"))),
+      graft.dedup.Dedup.exactDups(Pipeline.docsWide(s, dir))),
     "dd_minhash" -> ((s, dir) =>
       graft.dedup.Dedup.minhashCandidates(
-        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+        graft.dedup.Dedup.augment(Pipeline.docsWide(s, dir)),
+        ids = Some(Pipeline.augShingleIds(s, dir)))),
     "dd_simhash" -> ((s, dir) =>
-      graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
-        graft.dedup.Dedup.augment(read(s, dir, "documents"))))),
+      graft.dedup.Dedup.simhash(Pipeline.augShingleIds(s, dir))),
     "dd_simhash_pairs" -> ((s, dir) =>
       // Manku-style Hamming banding over the dd_simhash fingerprints:
       // equi-join on (band, 8-bit block), exact bit_count(xor)<=3 verify
       // on candidates only — the SimHash analogue of MinHash LSH
       graft.dedup.Dedup.simhashCandidates(
-        graft.dedup.Dedup.simhash(graft.dedup.Dedup.docShingleIds(
-          graft.dedup.Dedup.augment(read(s, dir, "documents")))))),
+        graft.dedup.Dedup.simhash(Pipeline.augShingleIds(s, dir)))),
     "dd_jaccard" -> ((s, dir) => {
       // the shingle-id table feeds BOTH the LSH candidate generation and the
-      // exact-Jaccard verify — compute it once and persist (at 100 TB this
-      // is the materialized intermediate the two stages share)
-      val docs = graft.dedup.Dedup.augment(read(s, dir, "documents"))
-      val ids = graft.dedup.Dedup.docShingleIds(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact-Jaccard verify — one persisted copy shared with the whole
+      // dd_* family (at 100 TB this is the materialized intermediate the
+      // stages share)
+      val docs = graft.dedup.Dedup.augment(Pipeline.docsWide(s, dir))
+      val ids = Pipeline.augShingleIds(s, dir)
       graft.dedup.Dedup.jaccardVerify(docs,
         graft.dedup.Dedup.minhashCandidates(docs, ids = Some(ids)), 0.5,
         precomputedIds = Some(ids))
@@ -289,7 +293,8 @@ object SparkEntry {
       // crawl dedup end-to-end: LSH -> Jaccard verify -> connected
       // components -> canonical doc per near-dup cluster (keep-decision)
       graft.dedup.Dedup.nearDupClusters(s,
-        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+        graft.dedup.Dedup.augment(Pipeline.docsWide(s, dir)),
+        precomputedIds = Some(Pipeline.augShingleIds(s, dir)))),
 
     "dd_incr" -> ((s, dir) =>
       // incremental crawl-delta dedup: day 1 (original docs) commits the
@@ -297,98 +302,99 @@ object SparkEntry {
       // variants, doc_id >= 10^6) is deduped against the COMMITTED index
       // plus itself — per-day work scales with the delta, not the corpus
       graft.dedup.Dedup.incrementalNearDups(s,
-        graft.dedup.Dedup.augment(read(s, dir, "documents")),
-        col("doc_id") >= 1000000L)),
+        graft.dedup.Dedup.augment(Pipeline.docsWide(s, dir)),
+        col("doc_id") >= 1000000L,
+        precomputedIds = Some(Pipeline.augShingleIds(s, dir)))),
 
     "dd_pipeline" -> ((s, dir) =>
       // the composed nightly cleaning decision: boilerplate removal ->
       // exact dedup on cleaned text -> quality + langid -> kept verdict,
       // all as one declarative plan (each stage is its oracled operator)
-      graft.dedup.Dedup.cleanCorpus(read(s, dir, "documents"))),
+      graft.dedup.Dedup.cleanCorpus(Pipeline.docsWide(s, dir))),
 
     "dd_substr" -> ((s, dir) =>
       // exact-substring duplication (Lee et al. 2022): tokens covered by a
       // 20-token span occurring verbatim in another doc; digest-keyed gram
       // counts + per-doc merge-intervals window (no corpus window)
       graft.dedup.Dedup.substrDups(
-        graft.dedup.Dedup.augment(read(s, dir, "documents")))),
+        graft.dedup.Dedup.augment(Pipeline.docsWide(s, dir)))),
 
     "dd_lines" -> ((s, dir) =>
       // line-level boilerplate removal (CCNet-style): drop lines occurring
       // in >= 10 distinct docs over deterministically composed pages
       // (site header/footer templates), reassemble in original order
       graft.dedup.Dedup.lineDedup(
-        graft.dedup.Dedup.composePages(read(s, dir, "documents")))),
+        graft.dedup.Dedup.composePages(Pipeline.docsWide(s, dir)))),
 
     "dd_embed" -> ((s, dir) =>
       // embedding-cosine near-dup: LSH buckets -> exact cosine verify,
       // over the deterministically-augmented embeddings (planted dups)
       graft.sim.Ann.embedNearDups(
-        graft.sim.Ann.augmentEmbeddings(read(s, dir, "embeddings")))),
+        graft.sim.Ann.augmentEmbeddings(Pipeline.embWide(s, dir)))),
 
     // ---- similarity search --------------------------------------------------
     "ann_topk" -> ((s, dir) =>
-      graft.sim.Ann.bruteForceTopK(read(s, dir, "embeddings"))),
+      graft.sim.Ann.bruteForceTopK(Pipeline.embWide(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       // LSH-bucketed variant — the signature arithmetic is deterministic
       // and portable, so the oracle recomputes signatures, bucket join and
       // re-rank exactly in SQL
-      graft.sim.Ann.lshTopK(read(s, dir, "embeddings"))),
+      graft.sim.Ann.lshTopK(Pipeline.embWide(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       // inverted-file variant — deterministic centroids, so the oracle
       // re-derives cells, probes and ranks exactly in SQL
-      graft.sim.Ann.ivfTopK(read(s, dir, "embeddings"))),
+      graft.sim.Ann.ivfTopK(Pipeline.embWide(s, dir))),
 
     // ---- text analysis ------------------------------------------------------
     "ts_langid" -> ((s, dir) =>
-      graft.textstats.TextStats.langId(read(s, dir, "documents"))),
+      graft.textstats.TextStats.langId(Pipeline.docsWide(s, dir))),
     "ts_quality" -> ((s, dir) =>
-      graft.textstats.TextStats.quality(read(s, dir, "documents"))),
+      graft.textstats.TextStats.quality(Pipeline.docsWide(s, dir))),
     "ts_tokens" -> ((s, dir) =>
-      graft.textstats.TextStats.tokenCounts(read(s, dir, "documents"))),
+      graft.textstats.TextStats.tokenCounts(Pipeline.docsWide(s, dir))),
     "ts_profile" -> ((s, dir) =>
       // per-language curation report: doc counts, token totals, exact
       // type-7 length percentiles (counts-map state, one lang shuffle)
-      graft.textstats.TextStats.profile(read(s, dir, "documents"))),
+      graft.textstats.TextStats.profile(Pipeline.docsWide(s, dir))),
     "ts_fingerprint" -> ((s, dir) =>
-      graft.textstats.TextStats.fingerprint(read(s, dir, "documents"))),
+      graft.textstats.TextStats.fingerprint(Pipeline.docsWide(s, dir))),
     "ts_bm25" -> ((s, dir) =>
       // BM25 ranked retrieval — the reference's Solr query side
       // (tagger.py:45-60) as declarative Spark: broadcast query terms,
       // one per-doc aggregation, TakeOrderedAndProject top-k
-      graft.search.Bm25.search(read(s, dir, "documents"),
+      graft.search.Bm25.search(Pipeline.docsWide(s, dir),
         Seq("merge", "window", "scan", "vector", "customer"))),
     "ts_pack" -> ((s, dir) =>
       // sequence packing into 2048-token training shards via a two-phase
       // distributed prefix sum (no single-partition window over the data)
-      graft.textstats.TextStats.pack(read(s, dir, "documents"))),
+      graft.textstats.TextStats.pack(Pipeline.docsWide(s, dir))),
     "ts_repetition" -> ((s, dir) =>
       // Gopher-style within-doc repetition filter (duplicate n-gram
       // fraction) over the corpus + planted pathological repeats
       graft.textstats.TextStats.repetition(
-        graft.textstats.TextStats.augmentRepetition(read(s, dir, "documents")))),
+        graft.textstats.TextStats.augmentRepetition(Pipeline.docsWide(s, dir)))),
     "ts_pii" -> ((s, dir) =>
       // C4-style PII scrub: email/phone/IPv4 counts + fixed-order redaction
       // as codegen'd regexp projections, over the corpus + planted PII
       graft.textstats.TextStats.piiScrub(
-        graft.textstats.TextStats.augmentPii(read(s, dir, "documents")))),
+        graft.textstats.TextStats.augmentPii(Pipeline.docsWide(s, dir)))),
     "ts_sample" -> ((s, dir) =>
       // stratified language-quota sampling with a deterministic
       // multiplicative scatter (reproducible across cluster sizes — no rand)
-      graft.textstats.TextStats.sampleByLanguage(read(s, dir, "documents"))),
+      graft.textstats.TextStats.sampleByLanguage(Pipeline.docsWide(s, dir))),
     "ts_lm" -> ((s, dir) =>
       // CCNet-style unigram-LM quality score under the reference's BOW
       // smoothing: corpus LM fit + per-doc mean negative log-likelihood
-      graft.textstats.TextStats.lmScore(read(s, dir, "documents"))),
+      graft.textstats.TextStats.lmScore(Pipeline.docsWide(s, dir))),
     "dd_decontam" -> ((s, dir) =>
       // benchmark n-gram decontamination: broadcast benchmark 8-gram set,
       // per-row n-gram generator, equi-join match, one doc-keyed aggregate
-      graft.dedup.Dedup.decontaminate(read(s, dir, "documents"))),
+      graft.dedup.Dedup.decontaminate(Pipeline.docsWide(s, dir))),
     "dd_decontam_bloom" -> ((s, dir) =>
       // same semantics via the past-broadcast-limit path: Bloom pre-filter
       // on the exploded n-grams + exact residual join; row-identical to
       // dd_decontam by construction, so it shares that oracle verbatim
-      graft.dedup.Dedup.decontaminateBloom(read(s, dir, "documents"))),
+      graft.dedup.Dedup.decontaminateBloom(Pipeline.docsWide(s, dir))),
 
     // ---- streaming ----------------------------------------------------------
     "stream_window" -> ((s, dir) =>
@@ -413,7 +419,7 @@ object SparkEntry {
 
     // ---- multimodal / pages -------------------------------------------------
     "mm_extract" -> ((s, dir) => {
-      val pages = graft.sources.Pages.fromDocuments(read(s, dir, "documents"))
+      val pages = graft.sources.Pages.fromDocuments(Pipeline.docsWide(s, dir))
       pages.select(col("url"), col("warc_ts").cast("long").as("warc_ts"),
         length(col("html")).as("html_len"),
         length(col("text")).as("text_len"),
@@ -425,18 +431,18 @@ object SparkEntry {
       // www., default port, tracking query/fragment/trailing slash)
       // collapse to one canonical key; keep the latest crawl per key
       graft.sources.Pages.urlDedup(graft.sources.Pages.withUrlVariants(
-        graft.sources.Pages.fromDocuments(read(s, dir, "documents"))))),
+        graft.sources.Pages.fromDocuments(Pipeline.docsWide(s, dir))))),
     "dd_hostcap" -> ((s, dir) =>
       // per-host anti-domination quota: keep the 10 earliest-crawled pages
       // per site via two salted aggregations (no corpus-sized host window)
       graft.sources.Pages.hostQuota(
-        graft.sources.Pages.fromDocuments(read(s, dir, "documents")))),
+        graft.sources.Pages.fromDocuments(Pipeline.docsWide(s, dir)))),
     "mm_features" -> ((s, dir) =>
       // batched binary feature extraction; the stub decode is a
       // deterministic byte histogram, so the DuckDB oracle re-derives f0
       // arithmetically (round-2's last no_oracle row, now closed)
       graft.sources.Pages.extractFeatures(
-        graft.sources.Pages.fromDocuments(read(s, dir, "documents")))
+        graft.sources.Pages.fromDocuments(Pipeline.docsWide(s, dir)))
         .select(col("url"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"))),
 

@@ -239,9 +239,13 @@ object Dedup {
     * map-side partials — no windows over the corpus. At 100 TB swap
     * idMode to "xxhash64" (per-row shingle ids, no vocabulary table). */
   def nearDupClusters(spark: SparkSession, docs: DataFrame,
-      threshold: Double = 0.5, idMode: String = "rank"): DataFrame = {
-    val ids = docShingleIds(docs, idMode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.5, idMode: String = "rank",
+      precomputedIds: Option[DataFrame] = None): DataFrame = {
+    // precomputedIds: an already-persisted shingle-id frame shared across
+    // the dedup family (Pipeline.augShingleIds) — the caller owns its
+    // lifecycle; without it the ids are built and persisted here.
+    val ids = precomputedIds.getOrElse(
+      docShingleIds(docs, idMode).persist(StorageLevel.MEMORY_AND_DISK))
     val verified = jaccardVerify(docs,
         minhashCandidates(docs, idMode = idMode, ids = Some(ids)),
         threshold, precomputedIds = Some(ids))
@@ -290,14 +294,19 @@ object Dedup {
     * `isDelta` is a predicate over `doc_id` marking the new batch. */
   def incrementalNearDups(spark: SparkSession, docs: DataFrame,
       isDelta: Column, threshold: Double = 0.5,
-      idMode: String = "rank"): DataFrame = {
+      idMode: String = "rank",
+      precomputedIds: Option[DataFrame] = None): DataFrame = {
     import graft.ckpt.Snapshots
     val root = java.nio.file.Files.createTempDirectory("graft_ddincr").toString
     // --- day 1: build + COMMIT the index over the pre-existing corpus.
     // (In production this ran at the previous ingest; committing it here
     // makes the query exercise the same parquet read-back path the real
     // pipeline resumes from.)
-    val ids = docShingleIds(docs, idMode)
+    // Without precomputedIds (a persisted shared frame) the id subtree
+    // below is EVALUATED THREE TIMES per call — day-1 commit, delta
+    // banding, and the verify union — which profiling showed serialized
+    // this query behind 3x the shingle pipeline.
+    val ids = precomputedIds.getOrElse(docShingleIds(docs, idMode))
     val day1Ids = ids.filter(!isDelta)
     val (idsPath, mIds) =
       Snapshots.commit(day1Ids, root, "shingle_ids", Seq("crawl:day1"))
