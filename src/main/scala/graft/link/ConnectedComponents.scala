@@ -148,7 +148,14 @@ object ConnectedComponents {
       import scala.jdk.CollectionConverters._
       val out = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
       import spark.implicits._
-      return out.toDF("node", "component")
+      // broadcast hint: the result is a driver-local relation bounded by
+      // the localSolveEdges gate, but without the hint the callers'
+      // join-backs (runWithIsolated, cluster canonical attach) planned a
+      // shuffle join — the corpus-node side rode an Exchange and the local
+      // relation was re-serialized into shuffle tasks with multi-second GC
+      // (profiled: the two heaviest stages of el_clusters' tail). As a
+      // broadcast build side it ships once and the node side stays in place.
+      return broadcast(out.toDF("node", "component"))
     }
 
     // Size the loop's shuffles to the WORKING SET, not the session default:

@@ -177,6 +177,13 @@ object Mentions {
       bow: Bow.Model): DataFrame = {
 
     val withQids = mentions
+      // BOW negative log-likelihood depends only on the surface, so compute
+      // it BEFORE the candidate-qid join: the previous placement evaluated
+      // the phrase tokenizer + word lookups once per (mention x candidate)
+      // row — the widest fan-out in the plan — instead of once per mention
+      // (guide §1.2: don't compute things you throw away / recompute)
+      .withColumn("log_likelihood",
+        graft.functions.BowLL.bowNegLL(bow, col("surface")))
       .join(broadcast(dictKeys.select("norm_key", "qid")), Seq("norm_key"))
 
     val features = entityDict.select(
@@ -192,10 +199,6 @@ object Mentions {
       .join(broadcast(ranksByQid), Seq("qid_num"), "left")
       .withColumn("pagerank", PageRank.lookupExpr("qid_num", "pr_rank", pr))
       .withColumn("rank", lit(23.0) + log(col("pagerank")))
-      // codegen'd Catalyst expression, not a UDF: this projection runs at
-      // the mention x candidate fan-out, the widest row count in the plan
-      .withColumn("log_likelihood",
-        graft.functions.BowLL.bowNegLL(bow, col("surface")))
 
     val wMention = Window.partitionBy(col("doc_id"), col("start"), col("end"))
       .orderBy(col("rank").desc, col("qid"))

@@ -71,8 +71,18 @@ object Pairs {
     val spark = m0.sparkSession
     val dir = scratchDir(spark)
     m0.write.mode("overwrite").parquet(s"$dir/m")
+    // Scale-adaptive width: numParts is the caller's parallelism target for
+    // corpus-sized inputs, but a small mention set (driver-contract queries)
+    // pays ~numParts of pure per-task/per-file overhead in the range write,
+    // the local windows and every downstream scan. The committed m snapshot
+    // makes the row count free to read (parquet footer metadata), so size
+    // the range partitioning to ~20k rows per partition, capped at the
+    // caller's target — at pipeline scale rows/20k far exceeds numParts and
+    // the behavior is unchanged.
+    val mRows = spark.read.parquet(s"$dir/m").count()
+    val parts = math.max(4L, math.min(numParts.toLong, mRows / 20000L + 1L)).toInt
     spark.read.parquet(s"$dir/m")
-      .repartitionByRange(numParts, col("block_key"), col("mention_id"))
+      .repartitionByRange(parts, col("block_key"), col("mention_id"))
       .withColumn("pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$dir/part")
     // the m snapshot is fully consumed by the part write above — delete it

@@ -127,31 +127,43 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 100,
       numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cent = emb.orderBy(col("vec_id")).limit(numCells)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cid"), col("vec").as("cvec"))
+    // Deterministic centroids (numCells lowest-id vectors) COLLECTED once —
+    // bounded by numCells, the same driver-side pattern as SaltedJoin's hot
+    // keys — and inlined as literals. The previous formulation crossJoined a
+    // broadcast centroid frame and took max(struct(ccos, -cid, vec)): a
+    // struct-with-array max compiles to SortAggregate, so the whole corpus
+    // (vectors included) rode an Exchange + two Sorts just to pick each
+    // row's nearest cell. Inline literals make cell assignment a pure
+    // codegen projection: K cosines + greatest(), NO exchange (guide §2.4).
+    val centArr: Seq[(Int, Seq[Double])] =
+      emb.orderBy(col("vec_id")).limit(numCells).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("vec").toSeq) }
+        .toSeq
 
-    // argmax cell per vector: max over struct orders by (cosine, -cid), so
-    // ties break toward the lower cell id — same ordering the oracle's
-    // row_number() uses
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col("vec"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("vec"))).as("m"))
-      .select(col("vec_id").as("cand_id"), (-col("m.ncid")).as("cid"),
-        col("m.vec").as("cand_vec"))
+    // argmax cell per vector: greatest over structs orders by (cosine,
+    // -cid), so ties break toward the lower cell id — same ordering the
+    // oracle's row_number() uses
+    val best = greatest(centArr.map { case (cid, cvec) =>
+      struct(cosine(col("vec"), typedLit(cvec)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = emb.select(col("vec_id").as("cand_id"),
+      (-best.getField("ncid")).as("cid"), col("vec").as("cand_vec"))
 
-    // top-nprobe cells per query (window over the tiny query side only)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cid"))
+    // top-nprobe cells per query: ascending struct sort on (ccos, -cid)
+    // then reverse = (ccos desc, cid asc) — the window ordering the oracle
+    // uses, without the crossJoin + window pass of the previous plan
+    val cellArr = array(centArr.map { case (cid, cvec) =>
+      struct(cosine(col("query_vec"), typedLit(cvec)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
     val probes = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("query_vec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col("query_vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("cid"))
+      .select(col("query_id"), col("query_vec"),
+        explode(slice(reverse(array_sort(cellArr)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"),
+        (-col("pc.ncid")).as("cid"))
 
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("cand_id") =!= col("query_id"))
