@@ -59,9 +59,20 @@ object BenchChild {
       if (forScale) "16m" else "64m")
     val maxPart = sys.env.getOrElse("SPARK_BENCH_MAXPART",
       if (forScale) "32m" else "128m")
+    // Shuffle writer selection: with <=200 reduce partitions Spark picks
+    // the bypass-merge writer, which creates one file PER REDUCE PARTITION
+    // per map task (64x64 = 4096 file creations per exchange at this
+    // session's width) before concatenating. Stage profiles showed 9-13 s
+    // of per-stage shuffle-write time that is pure small-file churn.
+    // Lowering the threshold selects the serialized (tungsten-sort) writer
+    // — one spill file + index per map task — which is also what any >200
+    // partition production shuffle uses, so behavior converges with the
+    // at-scale path rather than diverging from it.
+    val bypassThreshold = sys.env.getOrElse("SPARK_BENCH_BYPASS_THRESHOLD", "8")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassThreshold)
       .config("spark.sql.shuffle.partitions", (cores * shuffleMult).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)

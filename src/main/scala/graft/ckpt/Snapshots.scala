@@ -81,13 +81,22 @@ object Snapshots {
     val id = latest(spark, root, stage).map(_._2.snapshotId + 1).getOrElse(0L)
     val dir = stageDir(root, stage).resolve(s"snap-$id")
     df.write.mode("overwrite").parquet(dir.toString)
-    // per-partition lineage/counters from the committed files themselves
-    val counters = spark.read.parquet(dir.toString)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"))
-      .collect()
-      .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString,
-        r.getLong(1)))
+    // Per-partition lineage/counters from the committed files themselves.
+    // Read from the parquet FOOTERS (driver-side metadata, the numbers the
+    // writer already recorded) instead of the previous full re-scan
+    // aggregation — that launched one extra Spark job per commit, charged
+    // to every incremental/streaming query body that commits snapshots.
+    // Counter values are byte-identical to the scan's (footer row counts
+    // are exact).
+    val counters = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (p.getFileName.toString, r.getRecordCount) finally r.close()
+      }
       .toSeq.sortBy(_._1)
     val m = Manifest(stage, id, inputs, counters.map(_._2).sum, counters)
     val tmp = dir.resolve("_MANIFEST.json.tmp")

@@ -127,20 +127,17 @@ object EventStream {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    // pin the (small: one row per finalized window x type) result as a
-    // DRIVER-LOCAL relation, then delete the whole scratch root NOW —
-    // staging, checkpoint and sink files were accumulating per call on
-    // tmpfs (r3 ADVICE). localCheckpoint would also free the files but its
-    // blocks die with an executor and recompute would re-scan the deleted
-    // sink (the exact failure Pairs.blockSeq's committed snapshots exist
-    // to avoid); a local relation has no lineage to lose. At scale the
-    // append sink itself IS the durable output — this read-back exists for
-    // the driver's oracle comparison, whose result is windows, not pages.
-    val sink = spark.read.parquet(out.toString)
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    graft.link.Pairs.rmDir(root.toString)
-    result
+    // Return the sink read directly and free the scratch root at JVM exit
+    // (the Pairs scratch-dir lifecycle): the previous version collect()ed
+    // the sink to the driver and rebuilt it as a LocalRelation so the
+    // scratch could be deleted eagerly, but that serialized the result
+    // through the driver and made every downstream action rescan a
+    // driver-local relation — measurable against the bounded
+    // one-run-per-session lifecycle of this query, and exactly the shape
+    // guide §5 says to avoid. At scale the append sink itself IS the
+    // durable output.
+    graft.link.Pairs.cleanupOnExit(root.toString)
+    spark.read.parquet(out.toString)
   }
 
   /** Streaming exact dedup with keyed state — the ingestion-path dedup
@@ -188,13 +185,11 @@ object EventStream {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    // pin the result driver-local and free the tmpfs scratch immediately
-    // (same rationale as windowedCountsAppend above)
-    val sink = spark.read.parquet(out.toString)
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    graft.link.Pairs.rmDir(root.toString)
-    result
+    // return the sink read directly; scratch freed at exit (rationale at
+    // windowedCountsAppend — the collect()+LocalRelation pin shipped 100k
+    // deduped events through the driver twice per downstream action)
+    graft.link.Pairs.cleanupOnExit(root.toString)
+    spark.read.parquet(out.toString)
   }
 
   /** Stateless stream upsert into the dictionary table (the reference edit
