@@ -62,46 +62,16 @@ object Dedup {
   }
 
   /** deterministic global shingle ids: dense rank over the sorted distinct
-    * shingle set ([[docShingleIds]] with idMode="xxhash64" is the
-    * production path — rank ids exist for cross-engine oracle parity).
-    *
-    * Computed as a TWO-PHASE distributed rank (the Pairs.blockSeq pattern)
-    * instead of the previous `row_number() over (ORDER BY shingle)` global
-    * window, which sorted the whole distinct vocabulary (~10^6 strings at
-    * sf0.1) on ONE task — a profiled 2-2.5 s serial stage at the head of
-    * the dedup family. Range partitioning keeps partitions in sorted key
-    * order and shingles are distinct (no ties), so
-    * local row_number + per-partition prefix offsets reproduce the global
-    * dense rank EXACTLY; the range exchange samples the already-
-    * materialized distinct stage, not the raw upstream. */
-  def shingleRanks(shingles: DataFrame): DataFrame = {
-    val spark = shingles.sparkSession
-    val parts = math.max(4, spark.sparkContext.defaultParallelism)
-    // The range-partitioned frame feeds TWO subtrees (offsets + ranked
-    // rows); commit it to a scratch snapshot so the pid column is pinned as
-    // DATA — re-executing the sampling exchange per subtree can draw
-    // different range boundaries and mis-align the offsets (the exact
-    // failure Pairs.blockSeq's scaladoc documents; reproduced here when
-    // this was first chained without the snapshot).
-    val dir = s"${spark.conf.getOption("spark.local.dir")
-      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
-      .getOrElse(System.getProperty("java.io.tmpdir"))}/graft-stage/${java.util.UUID.randomUUID()}"
-    graft.link.Pairs.cleanupOnExit(dir)
+    * shingle set. Single-partition window is intentional here (oracle
+    * parity at test scale — this mode is documented as NOT a scale path;
+    * [[docShingleIds]] with idMode="xxhash64" is the production path). A
+    * two-phase distributed rank was tried in round 6 and REVERTED: it
+    * parallelized the ~2 s vocabulary sort but added a scratch snapshot +
+    * four plan stages whose planning/codegen fixed cost ate the win at
+    * every tested scale factor, and the mode never runs at real scale. */
+  def shingleRanks(shingles: DataFrame): DataFrame =
     shingles.select(col("shingle")).distinct()
-      .repartitionByRange(parts, col("shingle"))
-      .withColumn("pid", spark_partition_id())
-      .write.mode("overwrite").parquet(dir)
-    val part = spark.read.parquet(dir)
-    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offs = part.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select("pid", "off")
-    val wLocal = Window.partitionBy("pid").orderBy("shingle")
-    part
-      .withColumn("rn", row_number().over(wLocal).cast("long"))
-      .join(broadcast(offs), Seq("pid"))
-      .select(col("shingle"), (col("off") + col("rn")).as("sid"))
-  }
+      .withColumn("sid", row_number().over(Window.orderBy(col("shingle"))).cast("long"))
 
   /** Shingle ids per doc. idMode:
     *  - "rank": dense ids via a global sort — cross-engine oracle parity,
