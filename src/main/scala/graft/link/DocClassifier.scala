@@ -88,7 +88,24 @@ object DocClassifier {
     val d = params.maxSimilarityDistance
 
     // similarity lists per tag (compute_similarities): src tag i -> parallel
-    // (dst index, weight) arrays; self entry first with the smoothing seed
+    // (dst index, weight) arrays; self entry first with the smoothing seed.
+    //
+    // Windowed scan (round 6): tags arrive sorted by (start, end,
+    // tag_order), and any pair whose starts are further apart than
+    // d + max-span-length provably fails the distance gate — so instead of
+    // scanning all n tags per tag (the former O(n^2) inner loop, the
+    // hottest stage of the scale pipeline at ~100 cpu-s/trial), scan the
+    // contiguous start-window only. The window is found by walking from i
+    // and entries are still visited in ascending j order, so the weight
+    // lists — and therefore every floating-point sum downstream — are
+    // bit-identical to the full scan (pinned by FusedSpec's differential).
+    var lMax = 0
+    var p = 0
+    while (p < n) {
+      val len = tags(p).end - tags(p).start
+      if (len > lMax) lMax = len
+      p += 1
+    }
     val adjIdx = new Array[Array[Int]](n)
     val adjW = new Array[Array[Double]](n)
     val tmpIdx = new Array[Int](n + 1)
@@ -98,8 +115,14 @@ object DocClassifier {
       val ti = tags(i)
       var m = 0
       tmpIdx(m) = i; tmpW(m) = params.similaritySmoothing; m += 1
-      var j = 0
-      while (j < n) {
+      // lower window edge: first j (walking back from i) whose start could
+      // still be within distance d of ti (tj.end <= tj.start + lMax)
+      val loBound = ti.start - d - lMax
+      var lo = i
+      while (lo > 0 && tags(lo - 1).start >= loBound) lo -= 1
+      val hiBound = ti.end + d
+      var j = lo
+      while (j < n && tags(j).start <= hiBound) {
         val tj = tags(j)
         val distance = math.max(ti.start - tj.end, tj.start - ti.end)
         if (!(tj.start == ti.start && tj.end == ti.end) && distance <= d) {

@@ -135,7 +135,6 @@ object FusedAnnotate {
     // Walk spans ordered by (start asc, end desc); every candidate
     // container precedes the contained span in that order, so one running
     // max over end positions replaces the O(spans^2) exists scan.
-    val order = Array.range(0, nSpans)
     val spanStart = new Array[Int](nSpans)
     val spanEnd = new Array[Int](nSpans)
     i = 0
@@ -143,15 +142,24 @@ object FusedAnnotate {
       spanStart(i) = all(runStart(i)).start; spanEnd(i) = all(runStart(i)).end
       i += 1
     }
-    val boxedOrder = order.map(Integer.valueOf)
-    java.util.Arrays.sort(boxedOrder, (a: Integer, b: Integer) =>
-      if (spanStart(a) != spanStart(b)) Integer.compare(spanStart(a), spanStart(b))
-      else Integer.compare(spanEnd(b), spanEnd(a)))
+    // (start asc, end desc) order via a primitive packed-key sort: spans
+    // are distinct (start, end) pairs bounded by the 10k text cap, so
+    // (start << 14 | (16383 - end)) << 20 | idx sorts identically to the
+    // previous boxed-Integer comparator sort without allocating an Integer
+    // per span in the engine's hottest flatMapGroups (guide §1.2 /
+    // per-task work)
+    val packed = new Array[Long](nSpans)
+    i = 0
+    while (i < nSpans) {
+      packed(i) = ((spanStart(i).toLong << 14 | (16383 - spanEnd(i)).toLong) << 20) | i.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
     val contained = new Array[Boolean](nSpans)
     var maxEnd = Int.MinValue
     i = 0
     while (i < nSpans) {
-      val k = boxedOrder(i).intValue
+      val k = (packed(i) & 0xFFFFFL).toInt
       if (spanEnd(k) <= maxEnd) contained(k) = true
       else maxEnd = spanEnd(k)
       i += 1
