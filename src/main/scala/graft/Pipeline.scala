@@ -306,7 +306,11 @@ object Pipeline {
     * scoring pass instead of re-running the whole pairing per query. */
   def pairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "pairs") {
-      Pairs.candidatePairs(annotate(spark, sfDir))
+      // the annotate input is a persisted stage cache, so blockSeq's
+      // input-materialization snapshot is redundant here (the range
+      // sampling re-scans the cache); the scale pipeline keeps the default
+      Pairs.candidatePairs(annotate(spark, sfDir),
+        seqImpl = (m0, np) => Pairs.blockSeq(m0, np, inputMaterialized = true))
     }
 
   /** mention clusters: transitive closure of same-entity pairs. */

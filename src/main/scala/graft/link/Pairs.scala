@@ -67,21 +67,36 @@ object Pairs {
     * downstream job. This is also the plan that survives executor loss on
     * a real cluster (localCheckpoint does not).
     */
-  private[graft] def blockSeq(m0: DataFrame, numParts: Int): DataFrame = {
+  private[graft] def blockSeq(m0: DataFrame, numParts: Int,
+      inputMaterialized: Boolean = false): DataFrame = {
     val spark = m0.sparkSession
     val dir = scratchDir(spark)
-    m0.write.mode("overwrite").parquet(s"$dir/m")
+    // The m snapshot exists to make the input execute exactly once: the
+    // range exchange below runs a SEPARATE sampling job over its child,
+    // which would otherwise re-execute the whole upstream (annotate!) per
+    // job. When the caller guarantees the input is already materialized
+    // (a persisted stage cache, Pipeline.pairs), the sampling job is a
+    // cheap cache re-scan and the snapshot write+read is pure overhead —
+    // skip it. The `part` snapshot below is NOT skippable in either mode:
+    // it pins the pid column as data (two consumers + nondeterministic
+    // range boundaries otherwise).
+    val mIn =
+      if (inputMaterialized) m0
+      else {
+        m0.write.mode("overwrite").parquet(s"$dir/m")
+        spark.read.parquet(s"$dir/m")
+      }
     // Scale-adaptive width: numParts is the caller's parallelism target for
     // corpus-sized inputs, but a small mention set (driver-contract queries)
     // pays ~numParts of pure per-task/per-file overhead in the range write,
-    // the local windows and every downstream scan. The committed m snapshot
-    // makes the row count free to read (parquet footer metadata), so size
-    // the range partitioning to ~20k rows per partition, capped at the
+    // the local windows and every downstream scan. The materialized input
+    // makes the row count cheap (parquet footer metadata / cache stats), so
+    // size the range partitioning to ~20k rows per partition, capped at the
     // caller's target — at pipeline scale rows/20k far exceeds numParts and
     // the behavior is unchanged.
-    val mRows = spark.read.parquet(s"$dir/m").count()
+    val mRows = mIn.count()
     val parts = math.max(4L, math.min(numParts.toLong, mRows / 20000L + 1L)).toInt
-    spark.read.parquet(s"$dir/m")
+    mIn
       .repartitionByRange(parts, col("block_key"), col("mention_id"))
       .withColumn("pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$dir/part")
@@ -89,7 +104,7 @@ object Pairs {
     // NOW instead of at JVM exit (tmpfs scratch; long-lived sessions were
     // accumulating two full copies per call, r3 ADVICE). The part snapshot
     // must outlive the returned (lazy) frame and stays until exit cleanup.
-    rmDir(s"$dir/m")
+    if (!inputMaterialized) rmDir(s"$dir/m")
     val part = spark.read.parquet(s"$dir/part")
     val cnts = part.groupBy("pid", "block_key").agg(count(lit(1)).as("cnt"))
     val wOff = Window.partitionBy("block_key").orderBy("pid")
@@ -168,7 +183,7 @@ object Pairs {
     * best_qid). Output: one row per pair with surface similarities and the
     * same_entity decision (= linked entity agreement). */
   def candidatePairs(mentions: DataFrame, windowSize: Int = WindowSize,
-      seqImpl: (DataFrame, Int) => DataFrame = blockSeq): DataFrame = {
+      seqImpl: (DataFrame, Int) => DataFrame = blockSeq(_, _)): DataFrame = {
     val spark = mentions.sparkSession
     val m = mentions
       .withColumn("mention_id", mentionIdCol)
